@@ -1,0 +1,95 @@
+"""Engine configuration.
+
+All randomness is derived from ``seed`` (reference analog: fix_random_seeds,
+selfclean/cleaner/selfclean_cleaner.py:60); no wall-clock anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ShingleConfig:
+    """k-gram token shingling over normalized content."""
+
+    k: int = 5                      # tokens per shingle
+    lowercase: bool = False         # identifier-rename insensitivity is OFF by default
+    collapse_whitespace: bool = True  # whitespace never matters: tokenizer drops it
+    min_tokens: int = 1             # docs with fewer tokens get no signature (logged)
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """128-perm MinHash via per-permutation XOR-seed + splitmix64 finalizer.
+
+    Same signature width as the engine target config (BASELINE.json north_star:
+    "128-perm MinHash signatures").
+    """
+
+    num_perm: int = 128
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class LSHConfig:
+    """Banding of the MinHash signature.
+
+    Default b=32, r=4: s-curve midpoint (1/b)^(1/r) ~ 0.42, giving candidate
+    recall >= 0.999 for any pair with true J >= 0.7 (1-(1-J^r)^b); the exact
+    Jaccard verification pass restores precision at the 0.7 threshold. A
+    b=16/r=8 config (midpoint ~0.707) trades recall at J~0.8 (~0.95) for
+    fewer candidates — selectable per run.
+    """
+
+    bands: int = 32
+    rows: int = 4
+    # Skew handling (north_rule: "partitioning / shuffle / skew handled
+    # explicitly"): members of one band bucket are split into `salt_buckets`
+    # sub-groups keyed by hash(id); pair generation runs within-salt, plus a
+    # second round over per-salt representatives for cross-salt connectivity.
+    salt_buckets: int = 1
+    # Within one (band, salt) group: emit all pairs while |G| <= max_group_pairs
+    # members, else a star to the min id (connectivity preserved for CC; the
+    # drop is logged — "no silent caps").
+    max_group_pairs: int = 64
+
+
+@dataclass(frozen=True)
+class VerifyConfig:
+    threshold: float = 0.7          # keep pairs with estimated/exact J >= threshold
+    # pairs with est J within `exact_band` of threshold are re-checked with
+    # exact Jaccard over shingle sets (the thin near-threshold band).
+    exact_band: float = 0.15
+    use_exact: bool = True
+
+
+@dataclass(frozen=True)
+class AutoCleanConfig:
+    """fraction_cut parameters (reference: auto_cleaning_mixin.py:91-154)."""
+
+    cut_off: float = 0.01           # alpha
+    significance: float = 0.05      # q
+    enabled: bool = False
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    shingle: ShingleConfig = field(default_factory=ShingleConfig)
+    minhash: MinHashConfig = field(default_factory=MinHashConfig)
+    lsh: LSHConfig = field(default_factory=LSHConfig)
+    verify: VerifyConfig = field(default_factory=VerifyConfig)
+    autoclean: AutoCleanConfig = field(default_factory=AutoCleanConfig)
+    seed: int = 42
+
+    # execution knobs
+    sig_batch_size: int = 512       # docs per batch in the signature actor pool
+    sig_concurrency: int = 8        # signature actor pool size
+    join_num_partitions: int = 16   # hash-join partitions for sig/pair joins
+    cc_max_iters: int = 20          # hash-min propagation rounds (O(log N) expected)
+    cc_driver_edge_limit: int = 2_000_000  # below this, CC runs driver-side union-find
+
+    def __post_init__(self):
+        assert self.minhash.num_perm == self.lsh.bands * self.lsh.rows, (
+            "num_perm must equal bands*rows"
+        )

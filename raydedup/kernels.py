@@ -1,0 +1,278 @@
+"""Pure numpy/arrow batch kernels: normalize, sha256, shingle, MinHash, LSH
+bands, SimHash, Jaccard.
+
+Everything here is vectorized over a *batch* of documents; per-row Python is
+limited to C-speed operations (regex findall, hashlib digests over unique
+tokens). No per-shingle Python loops.
+
+Hash scheme (public-knowledge constructions only):
+- stable 64-bit token hash: blake2b(digest_size=8)
+- shingle hash: polynomial roll of token hashes + splitmix64 finalizer
+- MinHash perm p: min over shingles of splitmix64(shingle_hash XOR seed_p)
+  (XOR-seeded universal-ish family; same family used by many public MinHash
+  implementations in place of modular permutations)
+- SimHash: 64-bit majority vote over shingle-hash bits
+
+Reference semantics being replaced: dense (N,N) distance matrix
+(selfclean/cleaner/selfclean_cleaner.py:105-149) -> sparse signatures here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from functools import lru_cache
+
+import numpy as np
+
+U64 = np.uint64
+_SPLITMIX_1 = U64(0x9E3779B97F4A7C15)
+_SPLITMIX_2 = U64(0xBF58476D1CE4E5B9)
+_SPLITMIX_3 = U64(0x94D049BB133111EB)
+
+# code tokenizer: identifiers/numbers as one token, every punctuation char its
+# own token; whitespace dropped (so whitespace-collapse is inherent).
+TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain algorithm)."""
+    x = x.astype(U64, copy=True)
+    with np.errstate(over="ignore"):
+        x += _SPLITMIX_1
+        x ^= x >> U64(30)
+        x *= _SPLITMIX_2
+        x ^= x >> U64(27)
+        x *= _SPLITMIX_3
+        x ^= x >> U64(31)
+    return x
+
+
+def hash64_str(s: str) -> int:
+    """Stable 64-bit hash of a string (blake2b-8)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8", "surrogatepass"),
+                                          digest_size=8).digest(), "little")
+
+
+# Engine-visible ids/keys are 63-bit non-negative int64: Ray Data group keys
+# round-trip through pandas, where full-range uint64 degrades to pickled
+# objects. 63 bits keep collision odds negligible at 10^12 rows (~3e-6).
+MASK63 = (1 << 63) - 1
+
+
+def to_i63(x: np.ndarray) -> np.ndarray:
+    """uint64 hash values -> non-negative int64 keys (mask to 63 bits)."""
+    return (x & U64(MASK63)).astype(np.int64)
+
+
+def row_ids(repos, paths, commits) -> np.ndarray:
+    """Row identity id = hash63(repo \\x00 path \\x00 commit) as int64 >= 0."""
+    out = np.empty(len(repos), dtype=np.int64)
+    for i, (r, p, c) in enumerate(zip(repos, paths, commits)):
+        out[i] = hash64_str(f"{r}\x00{p}\x00{c}") & MASK63
+    return out
+
+
+def sha256_hex(contents) -> list:
+    """Per-row sha256 hex of the exact UTF-8 content bytes.
+
+    Per-row invariant vs the reference hashing (BASELINE.json input_hint).
+    """
+    return [hashlib.sha256(c.encode("utf-8", "surrogatepass")).hexdigest()
+            if c is not None else None for c in contents]
+
+
+def normalize_content(text: str, lowercase: bool = False) -> str:
+    """Newline canonicalization (+ optional lowercase). Tokenization already
+    collapses whitespace, so no explicit collapse is needed for shingles."""
+    if text is None:
+        return ""
+    t = text.replace("\r\n", "\n").replace("\r", "\n")
+    return t.lower() if lowercase else t
+
+
+@lru_cache(maxsize=1_000_000)
+def _token_hash_cached(tok: str) -> int:
+    return hash64_str(tok)
+
+
+def tokenize_hash_batch(texts, lowercase: bool = False):
+    """Tokenize a batch of documents and map tokens to stable uint64 hashes.
+
+    Returns (flat_hashes uint64[T], doc_offsets int64[n+1]) where
+    flat_hashes[doc_offsets[i]:doc_offsets[i+1]] are doc i's token hashes in
+    order. Only *unique* tokens in the batch are hashed in Python (cached).
+    """
+    tok_lists = [TOKEN_RE.findall(normalize_content(t, lowercase)) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    offsets = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=U64), offsets
+    flat = np.empty(total, dtype=U64)
+    th = _token_hash_cached
+    pos = 0
+    for toks in tok_lists:
+        for t in toks:
+            flat[pos] = th(t)
+            pos += 1
+    return flat, offsets
+
+
+def shingle_hashes(flat_hashes: np.ndarray, doc_offsets: np.ndarray, k: int):
+    """k-gram shingle hashes per doc, fully vectorized across the batch.
+
+    For a doc with L tokens: L >= k -> L-k+1 window hashes; 0 < L < k -> one
+    hash over all L tokens (so short files still participate); L == 0 -> none.
+
+    Returns (shingles uint64[S], sh_offsets int64[n+1]).
+    """
+    n = len(doc_offsets) - 1
+    starts = doc_offsets[:-1]
+    ends = doc_offsets[1:]
+    lens = ends - starts
+    counts = np.maximum(lens - k + 1, 0)
+    short = (lens > 0) & (lens < k)
+    counts = np.where(short, 1, counts)
+    sh_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=sh_offsets[1:])
+    S = int(sh_offsets[-1])
+    out = np.empty(S, dtype=U64)
+    if S == 0:
+        return out, sh_offsets
+
+    # window-start indices into flat_hashes for all full windows, batchwide:
+    # for each doc, starts[i] .. starts[i]+counts[i]-1 (short docs: just starts[i])
+    reps = counts.astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+    within = np.arange(S, dtype=np.int64) - sh_offsets[doc_idx]
+    win_start = starts[doc_idx] + within
+
+    P = U64(0x100000001B3)  # FNV-ish odd multiplier for the poly roll
+    with np.errstate(over="ignore"):
+        acc = np.zeros(S, dtype=U64)
+        # full windows: k terms; short docs handled after
+        full = ~short[doc_idx]
+        for j in range(k):
+            idx = win_start + j
+            # for short docs the window would run past the doc; guard below
+            valid = full & (idx < len(flat_hashes))
+            term = np.zeros(S, dtype=U64)
+            term[valid] = flat_hashes[idx[valid]]
+            acc = acc * P + term
+    out[:] = splitmix64(acc)
+
+    # short docs: poly-hash their whole token run (variable length, few docs)
+    short_docs = np.nonzero(short)[0]
+    if len(short_docs):
+        with np.errstate(over="ignore"):
+            for d in short_docs:
+                a = U64(0)
+                for h in flat_hashes[starts[d]:ends[d]]:
+                    a = a * P + h
+                out[sh_offsets[d]] = splitmix64(np.array([a], dtype=U64))[0]
+    return out, sh_offsets
+
+
+def minhash_signatures(shingles: np.ndarray, sh_offsets: np.ndarray,
+                       perm_seeds: np.ndarray, row_chunk: int = 200_000):
+    """(n, P) uint64 MinHash signatures. Docs with zero shingles get all-ones
+    sentinel (uint64 max) signatures; callers filter them out.
+
+    Vectorized: splitmix64(shingle ^ seed_p) then minimum.reduceat per doc.
+    Memory is bounded by chunking the shingle axis (row_chunk shingles x P).
+    """
+    n = len(sh_offsets) - 1
+    P = len(perm_seeds)
+    sig = np.full((n, P), np.iinfo(np.uint64).max, dtype=U64)
+    if len(shingles) == 0:
+        return sig
+    # process contiguous runs of docs whose shingles fit the chunk budget
+    d0 = 0
+    while d0 < n:
+        d1 = d0
+        while d1 < n and (sh_offsets[d1 + 1] - sh_offsets[d0]) <= row_chunk:
+            d1 += 1
+        d1 = max(d1, d0 + 1)  # at least one doc even if it alone exceeds chunk
+        lo, hi = int(sh_offsets[d0]), int(sh_offsets[d1])
+        if hi > lo:
+            sub = shingles[lo:hi]
+            with np.errstate(over="ignore"):
+                m = splitmix64(sub[:, None] ^ perm_seeds[None, :])
+            offs = (sh_offsets[d0:d1] - lo).astype(np.int64)
+            nonempty = (sh_offsets[d0 + 1:d1 + 1] - sh_offsets[d0:d1]) > 0
+            red = np.minimum.reduceat(m, np.minimum(offs, len(sub) - 1), axis=0)
+            # reduceat on an empty segment returns the element at the offset;
+            # mask those docs back to sentinel
+            sig[d0:d1][nonempty] = red[nonempty]
+        d0 = d1
+    return sig
+
+
+def perm_seeds(num_perm: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, np.iinfo(np.uint64).max, size=num_perm, dtype=U64)
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n, bands) uint64 band keys; band index is mixed into the key so the
+    same row-values in different bands never collide."""
+    n, P = sig.shape
+    assert P == bands * rows
+    s = sig.reshape(n, bands, rows)
+    Pm = U64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, bands), dtype=U64)
+        for j in range(rows):
+            acc = acc * Pm + s[:, :, j]
+        acc ^= splitmix64(np.arange(bands, dtype=U64))[None, :]
+    return splitmix64(acc)
+
+
+def simhash64(shingles: np.ndarray, sh_offsets: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per doc: majority vote over shingle-hash bits.
+    Docs with zero shingles get 0."""
+    n = len(sh_offsets) - 1
+    out = np.zeros(n, dtype=U64)
+    if len(shingles) == 0:
+        return out
+    bits = ((shingles[:, None] >> np.arange(64, dtype=U64)[None, :])
+            & U64(1)).astype(np.int32)
+    offs = sh_offsets[:-1].astype(np.int64)
+    counts = (sh_offsets[1:] - sh_offsets[:-1]).astype(np.int64)
+    nonempty = counts > 0
+    sums = np.add.reduceat(bits, np.minimum(offs, len(bits) - 1), axis=0)
+    maj = (2 * sums) > counts[:, None]
+    vals = np.zeros(n, dtype=U64)
+    weights = (U64(1) << np.arange(64, dtype=U64))
+    vals = (maj.astype(U64) * weights[None, :]).sum(axis=1, dtype=U64)
+    out[nonempty] = vals[nonempty]
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of XOR for uint64 arrays."""
+    x = (a ^ b).view(np.uint64)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard = fraction of equal MinHash coordinates. (n,P)x(n,P)->(n,)"""
+    return (sig_a == sig_b).mean(axis=1)
+
+
+def exact_jaccard_sets(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
+    """Exact Jaccard of two shingle multisets treated as sets."""
+    a = np.unique(sh_a)
+    b = np.unique(sh_b)
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+def clip01(x: np.ndarray) -> np.ndarray:
+    """Score clipping (reference: selfclean_cleaner.py:147-149)."""
+    return np.clip(x, 0.0, 1.0)

@@ -1,0 +1,115 @@
+"""Flagship pipeline: read -> ingest -> signatures -> exact dedup fast path ->
+LSH candidates over sha-representatives -> verify -> union exact+near edges ->
+connected components -> ranking + duplicity.
+
+Lifecycle mirrors SelfClean.run_on_image_folder -> fit -> predict
+(selfclean/cleaner/selfclean.py:127-299, SURVEY §3) with the dense-matrix data
+plane replaced by the content-hash plane sanctioned by BASELINE.json.
+
+Scale design notes:
+- content is dropped at the signature stage; only ids + hashes shuffle.
+- exact-dup groups are collapsed to one representative per content_sha256
+  BEFORE LSH: a group of g identical files would otherwise collide in all
+  bands and explode candidate generation; the star edges (distance 0) keep
+  the cluster intact and give the reference's "exact dup at rank 0, score 0"
+  (tests/unittests/cleaner/near_duplicates/test_embedding_distance.py:22-40).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from raydedup.config import EngineConfig
+from raydedup.issues import DEFAULT_ISSUES, DedupResult, IssueType
+from raydedup.stages import candidates as C
+from raydedup.stages import cluster as CL
+from raydedup.stages import ingest as I
+from raydedup.stages import rank as R
+from raydedup.stages import signatures as S
+from raydedup.stages import verify as V
+
+
+def _exact_group_pairs(cap: int):
+    """Per-sha group -> (pairs at distance 0, rep rows)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.sort(t.column("id").to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        a, b = C.emit_pairs(ids, cap)
+        return pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "est_jaccard": pa.array(np.ones(len(a)), pa.float64()),
+            "jaccard": pa.array(np.ones(len(a)), pa.float64()),
+            "distance": pa.array(np.zeros(len(a)), pa.float64()),
+        })
+
+    return fn
+
+
+def _sha_representatives():
+    """Per-sha group -> the signature row with the min id."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        return t.take([int(np.argmin(ids))])
+
+    return fn
+
+
+def run_pipeline(code_files: ray.data.Dataset,
+                 cfg: Optional[EngineConfig] = None,
+                 issues_to_detect: Sequence[IssueType] = DEFAULT_ISSUES,
+                 ) -> DedupResult:
+    cfg = cfg or EngineConfig()
+    issues = {IssueType.canonical(i) for i in issues_to_detect}
+
+    ingested = I.ingest(code_files)
+    sigs = S.compute_signatures(ingested, cfg)
+    # signatures fan out to 4+ consumers (exact pairs, reps, ids, label errors)
+    # — materialize once so the content scan + hashing runs once, not per
+    # consumer. ~3 KB/row (ids + hashes only, content dropped); at cluster
+    # scale this is the per-stage parquet checkpoint instead (checkpoint.py).
+    sigs = sigs.materialize()
+
+    # exact-dup fast path (SURVEY §2.7): star/all pairs within sha groups
+    exact_pairs = sigs.select_columns(["id", "content_sha256"]) \
+        .groupby("content_sha256") \
+        .map_groups(_exact_group_pairs(cfg.lsh.max_group_pairs),
+                    batch_format="pyarrow")
+
+    # one representative per distinct content for the near-dup plane
+    rep_sigs = sigs.groupby("content_sha256").map_groups(
+        _sha_representatives(), batch_format="pyarrow")
+
+    rep_sigs = rep_sigs.materialize()   # consumed by candidates AND verify
+    cand = C.candidate_pairs(rep_sigs, cfg)
+    near_pairs = V.verify_pairs(cand, rep_sigs, cfg)
+    # verified pairs are the hub of every downstream ranking/clustering stage
+    # and are small (only pairs above threshold)
+    verified = exact_pairs.union(near_pairs).materialize()
+
+    result = DedupResult(ingested=ingested, signatures=sigs,
+                         verified_pairs=verified)
+
+    if IssueType.NEAR_DUPLICATES in issues:
+        result.ranked_pairs = R.ranked_pairs(verified)
+    if IssueType.OFF_TOPIC in issues or IssueType.NEAR_DUPLICATES in issues:
+        ids = sigs.select_columns(["id"])
+        result.clusters = CL.connected_components(verified, ids, cfg)
+        result.duplicity = R.duplicity(verified, result.clusters, cfg)
+    if IssueType.LABEL_ERRORS in issues:
+        from raydedup.stages.labelerrors import label_error_scores
+        result.label_errors = label_error_scores(verified, sigs, cfg)
+    return result
+
+
+def run_on_parquet(path: str, cfg: Optional[EngineConfig] = None,
+                   issues_to_detect: Sequence[IssueType] = DEFAULT_ISSUES,
+                   ) -> DedupResult:
+    """Flagship entry (analog of run_on_image_folder, selfclean.py:127-173)."""
+    return run_pipeline(I.read_code_files(path), cfg, issues_to_detect)

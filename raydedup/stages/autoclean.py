@@ -1,0 +1,115 @@
+"""Auto-cleaning cut-off: fraction_cut re-derived from the reference's
+documented semantics (selfclean/cleaner/auto_cleaning_mixin.py:91-154; SURVEY
+§2.5/§3) — NOT a code copy; scipy.stats.logistic is replaced by the closed-form
+logistic quantile function.
+
+Semantics: scores s in (0,1) are logit-transformed; a logistic distribution is
+anchored to the left tail via two quantiles q and sqrt(0.5*q) of the logit
+scores; the cut-off is the logistic ppf at probability (alpha * N / M) — with
+alpha squared when the score vector is a pair vector (M == N(N-1)/2) — mapped
+through the fitted loc/scale. Rows with logit score below the cut-off are
+flagged as auto-issues.
+
+This is a pure function of the score vector (+ N, M): the distributed part is
+only collecting/approximating the score column; the scalar math runs on the
+driver (SURVEY §2.5 "cut-off math is driver-side scalar").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _logit(x: np.ndarray) -> np.ndarray:
+    return np.log(x / (1.0 - x))
+
+
+def _logistic_ppf(p: float, loc: float, scale: float) -> float:
+    return loc + scale * np.log(p / (1.0 - p))
+
+
+def fraction_cut_scores(scores: np.ndarray, n_samples: int,
+                        alpha: float = 0.01, q: float = 0.05) -> np.ndarray:
+    """Return indices (into `scores`) flagged as issues.
+
+    Mirrors the reference's observable behavior (auto_cleaning_mixin.py:91-154):
+    - alpha is squared for pair score vectors (detected by M == N(N-1)/2,
+      :102-105);
+    - only scores strictly inside (0,1) participate (:106-109);
+    - quantile anchors at p=alpha and (0.5*alpha)**0.5 of the logit scores,
+      two-point logistic fit (get_scale_loc, :219-227);
+    - cut-off = logistic_ppf(q * alpha * N / M) * scale + loc (:112-121);
+    - flagged = logit score < cutoff.
+
+    Deviation (documented): the reference returns positions into the
+    range-filtered array (:125-154); we map flags back to positions in the
+    ORIGINAL score vector — identical whenever all scores lie in (0,1).
+    """
+    cutoff = fraction_cut_cutoff(scores, n_samples, alpha, q)
+    if cutoff is None:
+        return np.empty(0, dtype=np.int64)
+    inside = (scores > 0.0) & (scores < 1.0)
+    flagged = np.zeros(len(scores), dtype=bool)
+    flagged[inside] = _logit(scores[inside]) < cutoff
+    return np.nonzero(flagged)[0]
+
+
+def fraction_cut_cutoff(scores: np.ndarray, n_samples: int,
+                        alpha: float = 0.01, q: float = 0.05) -> float | None:
+    """The logit-space cut-off value, or None when undefined."""
+    M = len(scores)
+    if M == 0:
+        return None
+    N = n_samples
+    a = alpha
+    if M == N * (N - 1) // 2:      # pair-vector rule: alpha squared
+        a = alpha ** 2
+    inside = (scores > 0.0) & (scores < 1.0)
+    ls = _logit(scores[inside])
+    if len(ls) < 2:
+        return None
+    p1 = a
+    p2 = float((0.5 * a) ** 0.5)
+    x1 = float(np.quantile(ls, p1))
+    x2 = float(np.quantile(ls, p2))
+    # two-point quantile fit: x = loc + scale * logistic_ppf(p) at p1, p2
+    z1 = float(np.log(p1 / (1.0 - p1)))
+    z2 = float(np.log(p2 / (1.0 - p2)))
+    scale = (x1 - x2) / (z1 - z2)
+    loc = (z1 * x2 - z2 * x1) / (z1 - z2)
+    prob = q * a * N / M
+    if not (0.0 < prob < 1.0):
+        return None
+    return _logistic_ppf(prob, loc, scale)
+
+
+def fraction_cut_dataset(ds: ray.data.Dataset, score_col: str, n_samples: int,
+                         alpha: float = 0.01, q: float = 0.05,
+                         ascending: bool = True) -> ray.data.Dataset:
+    """Attach an `auto_issue` bool column to a scored Dataset.
+
+    The score column is collected to the driver (bounded: one float per row of
+    the *scored* dataset — pairs already filtered to >= threshold, or per-file
+    scores, never the raw N(N-1)/2 vector), the cut-off is computed once, and
+    applied as a vectorized map_batches.
+    """
+    col = np.concatenate([
+        b.column(score_col).to_numpy(zero_copy_only=False)
+        for b in ds.select_columns([score_col]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)] or
+        [np.empty(0, np.float64)])
+    s = col if ascending else 1.0 - col
+    cutoff = fraction_cut_cutoff(s, n_samples, alpha, q)
+    # cut-off maps back to score space via sigmoid (logit is monotone), so the
+    # tag is order-independent of block iteration order.
+    s_cut = -np.inf if cutoff is None else 1.0 / (1.0 + np.exp(-cutoff))
+
+    def tag(t: pa.Table) -> pa.Table:
+        x = t.column(score_col).to_numpy(zero_copy_only=False)
+        sx = x if ascending else 1.0 - x
+        flag = (sx > 0.0) & (sx < 1.0) & (sx < s_cut)
+        return t.append_column("auto_issue", pa.array(flag, pa.bool_()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -1,0 +1,170 @@
+"""Connected components over the verified-pair Dataset.
+
+Replaces the reference's single-linkage dendrogram cut
+(selfclean/cleaner/off_topic_samples/lad_mixin.py:18): CC over pairs with
+distance < threshold IS a single-linkage cut at that threshold (SURVEY §2.5).
+
+Two execution paths (config cc_driver_edge_limit):
+- small edge sets -> driver-side union-find (exact, cheap);
+- large -> distributed hash-min label propagation with pointer-halving:
+  each round every id takes min(own label, neighbors' labels, label-of-label),
+  implemented as hash joins + groupby-min over Datasets; converges in
+  O(log N) rounds; labels materialized per round (ids+labels only, 16 B/row).
+Cluster id = min id in the component — canonical regardless of iteration order
+(determinism, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Min
+
+from raydedup.config import EngineConfig
+from raydedup.util import hash_join
+
+
+def _union_find(ids_a: np.ndarray, ids_b: np.ndarray) -> dict[int, int]:
+    """Driver-side union-find; returns id -> min-id-of-component for every id
+    appearing in an edge."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:       # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(ids_a.tolist(), ids_b.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    # canonicalize to min id per component
+    out = {}
+    for x in list(parent.keys()) + [i for i in ids_a.tolist() + ids_b.tolist()]:
+        out[x] = find(x)
+    return out
+
+
+def _cc_driver(edges: ray.data.Dataset) -> dict[int, int]:
+    batches = [b for b in edges.select_columns(["id_a", "id_b"])
+               .iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+    if not batches:
+        return {}
+    tbl = pa.concat_tables(batches, promote_options="default")
+    if tbl.num_rows == 0:
+        return {}
+    a = tbl.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    return _union_find(a, b)
+
+
+def _cc_distributed(edges: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+    """Hash-min propagation entirely as Dataset ops. Returns (id, label) for
+    every id that appears in an edge."""
+    npart = cfg.join_num_partitions
+    # undirected -> both directions
+    fwd = edges.select_columns(["id_a", "id_b"]).rename_columns(
+        {"id_a": "src", "id_b": "dst"})
+    rev = edges.select_columns(["id_a", "id_b"]).rename_columns(
+        {"id_b": "src", "id_a": "dst"})
+    dedges = fwd.union(rev).materialize()
+
+    labels = (dedges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
+              .map_batches(lambda t: pa.table({
+                  "id": t.column("src"),
+                  "label": pa.compute.min_element_wise(t.column("src"),
+                                                       t.column("nbr_min")),
+              }), batch_format="pyarrow").materialize())
+
+    for _ in range(cfg.cc_max_iters):
+        # neighbor labels: join edges with labels on dst, min per src
+        nbr = hash_join(dedges, labels, on="dst", right_on="id",
+                        num_partitions=npart)
+        nbr_min = nbr.groupby("src").aggregate(Min("label", alias_name="nbr_label"))
+        merged = hash_join(labels, nbr_min, on="id", right_on="src",
+                           num_partitions=npart, join_type="left_outer")
+
+        def take_min(t: pa.Table) -> pa.Table:
+            lab = t.column("label")
+            nb = pa.compute.fill_null(t.column("nbr_label"), pa.scalar(
+                np.iinfo(np.int64).max, pa.int64()))
+            new = pa.compute.min_element_wise(lab, nb)
+            return pa.table({"id": t.column("id"), "label": new,
+                             "changed": pa.compute.not_equal(new, lab)})
+
+        stepped = merged.map_batches(take_min, batch_format="pyarrow")
+        # pointer halving: label <- label(label)
+        lab_of_lab = hash_join(
+            stepped.select_columns(["id", "label", "changed"]),
+            stepped.select_columns(["id", "label"]).rename_columns(
+                {"id": "lid", "label": "llabel"}),
+            on="label", right_on="lid", num_partitions=npart,
+            join_type="left_outer")
+
+        def halve(t: pa.Table) -> pa.Table:
+            lab = t.column("label")
+            ll = pa.compute.fill_null(t.column("llabel"), pa.scalar(
+                np.iinfo(np.int64).max, pa.int64()))
+            new = pa.compute.min_element_wise(lab, ll)
+            return pa.table({"id": t.column("id"), "label": new,
+                             "changed": pa.compute.or_(
+                                 t.column("changed"),
+                                 pa.compute.not_equal(new, lab))})
+
+        new_labels = lab_of_lab.map_batches(halve, batch_format="pyarrow")
+        new_labels = new_labels.materialize()
+        changed = new_labels.map_batches(
+            lambda t: pa.table({"c": [pa.compute.sum(
+                pa.compute.cast(t.column("changed"), pa.int64())).as_py() or 0]}),
+            batch_format="pyarrow").sum("c")
+        labels = new_labels.select_columns(["id", "label"]).materialize()
+        if not changed:
+            break
+    return labels
+
+
+def connected_components(edges: ray.data.Dataset, all_ids: ray.data.Dataset,
+                         cfg: EngineConfig) -> ray.data.Dataset:
+    """-> (id, cluster_id) for EVERY id in all_ids; singletons map to self.
+
+    all_ids: Dataset with column `id` (one row per file).
+    """
+    n_edges = edges.count()
+    if n_edges == 0:
+        return all_ids.select_columns(["id"]).map_batches(
+            lambda t: pa.table({"id": t.column("id"),
+                                "cluster_id": t.column("id")}),
+            batch_format="pyarrow")
+    if n_edges <= cfg.cc_driver_edge_limit:
+        mapping = _cc_driver(edges)
+
+        def assign(t: pa.Table) -> pa.Table:
+            ids = t.column("id").to_numpy(zero_copy_only=False)
+            lab = np.array([mapping.get(int(i), int(i)) for i in ids],
+                           dtype=np.int64)
+            return pa.table({"id": t.column("id"),
+                             "cluster_id": pa.array(lab, pa.int64())})
+
+        # mapping is broadcast once via closure capture (ray.put under the
+        # hood when the task is shipped); fine while the edge set is small.
+        return all_ids.select_columns(["id"]).map_batches(
+            assign, batch_format="pyarrow")
+
+    labels = _cc_distributed(edges, cfg)
+    joined = hash_join(all_ids.select_columns(["id"]), labels, on="id",
+                       right_on="id", num_partitions=cfg.join_num_partitions,
+                       join_type="left_outer", right_suffix="_lab")
+
+    def finish(t: pa.Table) -> pa.Table:
+        lab = t.column("label")
+        cid = pa.compute.if_else(pa.compute.is_null(lab), t.column("id"), lab)
+        return pa.table({"id": t.column("id"),
+                         "cluster_id": pa.compute.cast(cid, pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
