@@ -45,6 +45,18 @@ def unpack_u64_rows(col) -> list[np.ndarray]:
             np.empty(0, np.uint64) for b in col.to_pylist()]
 
 
+def effective_partitions(requested: int) -> int:
+    """Clamp shuffle fan-out to the cluster CPU count: Ray's hash-shuffle join
+    spawns `num_partitions` aggregator actors, and a partition count above the
+    available CPUs deadlocks the streaming executor on small clusters."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(requested, cpus))
+
+
 def hash_join(left, right, on: str, right_on: str, num_partitions: int,
               join_type: str = "inner", left_suffix: str = "",
               right_suffix: str = "_r"):
@@ -53,6 +65,7 @@ def hash_join(left, right, on: str, right_on: str, num_partitions: int,
     At cluster scale this is the explicit partitioned hash join SURVEY §4 calls
     for; num_partitions controls the shuffle fan-out.
     """
+    num_partitions = effective_partitions(num_partitions)
     return left.join(
         right,
         join_type=join_type,

@@ -1,0 +1,66 @@
+"""fraction_cut parity vs an independent NumPy transliteration of the
+documented reference semantics (auto_cleaning_mixin.py:91-154 + get_scale_loc
+:219-227), FIXTURES F2. scipy logistic is closed-form:
+ppf(p) = loc + scale*log(p/(1-p))."""
+
+import numpy as np
+import pytest
+
+from raydedup.stages.autoclean import (fraction_cut_cutoff,
+                                       fraction_cut_scores)
+
+
+def reference_fraction_cut(scores, N, condensed_size, alpha=0.01, q=0.05):
+    """Independent transliteration of the documented behavior (returns flags
+    over the range-filtered array, as the reference does)."""
+    M = len(scores)
+    if M == condensed_size:
+        alpha = alpha ** 2
+    s = scores[(scores > 0) & (scores < 1)]
+    logit = np.log(s / (1 - s))
+    p = alpha
+    prob = q * p * N / M
+    def ppf(x):
+        return np.log(x / (1 - x))
+    x1, x2 = np.quantile(logit, p), np.quantile(logit, (0.5 * p) ** 0.5)
+    y1, y2 = ppf(p), ppf((0.5 * p) ** 0.5)
+    scale = (x1 - x2) / (y1 - y2)
+    loc = (y1 * x2 - y2 * x1) / (y1 - y2)
+    cutoff = ppf(prob) * scale + loc
+    return logit < cutoff, cutoff
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+@pytest.mark.parametrize("pair_vector", [False, True])
+def test_fraction_cut_parity(seed, pair_vector):
+    rng = np.random.default_rng(seed)
+    N = 60
+    M = N * (N - 1) // 2 if pair_vector else N
+    # mixture: bulk + a contaminated low tail (all strictly inside (0,1))
+    bulk = 1 / (1 + np.exp(-rng.normal(1.0, 1.0, M - M // 20)))
+    tail = 1 / (1 + np.exp(-rng.normal(-6.0, 0.5, M // 20)))
+    scores = np.concatenate([bulk, tail])
+    rng.shuffle(scores)
+
+    ref_flags, ref_cut = reference_fraction_cut(
+        scores, N, N * (N - 1) // 2, alpha=0.01, q=0.05)
+    ours = fraction_cut_scores(scores, N, alpha=0.01, q=0.05)
+    our_cut = fraction_cut_cutoff(scores, N, alpha=0.01, q=0.05)
+
+    assert our_cut == pytest.approx(ref_cut)
+    # all scores inside (0,1): positions align 1:1
+    assert set(ours) == set(np.nonzero(ref_flags)[0])
+
+
+def test_fraction_cut_empty_and_degenerate():
+    assert len(fraction_cut_scores(np.empty(0), 10)) == 0
+    assert fraction_cut_cutoff(np.array([0.0, 1.0]), 10) is None
+    assert len(fraction_cut_scores(np.array([0.5]), 10)) == 0
+
+
+def test_out_of_range_scores_never_flagged():
+    rng = np.random.default_rng(3)
+    scores = np.concatenate([np.zeros(5), rng.uniform(0.01, 0.99, 200),
+                             np.ones(5)])
+    idx = fraction_cut_scores(scores, 210, alpha=0.05, q=0.1)
+    assert all(0 < scores[i] < 1 for i in idx)

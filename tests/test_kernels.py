@@ -1,0 +1,101 @@
+"""Kernel unit tests: determinism, MinHash estimate property, edge cases.
+
+Mirrors the reference's fixture style (SURVEY §5): planted/seeded inputs with
+value + rank-order assertions.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from raydedup import kernels as K
+
+
+def _sig_of(texts, k=5, num_perm=128, seed=42):
+    flat, offs = K.tokenize_hash_batch(texts)
+    sh, so = K.shingle_hashes(flat, offs, k)
+    return K.minhash_signatures(sh, so, K.perm_seeds(num_perm, seed)), sh, so
+
+
+def test_tokenize_deterministic():
+    texts = ["def foo(x):\n    return x + 1\n", "", "x y z"]
+    f1, o1 = K.tokenize_hash_batch(texts)
+    f2, o2 = K.tokenize_hash_batch(texts)
+    assert (f1 == f2).all() and (o1 == o2).all()
+    # batch composition must not change per-doc hashes
+    f3, o3 = K.tokenize_hash_batch(texts[2:])
+    assert (f3 == f1[o1[2]:o1[3]]).all()
+
+
+def test_sha256_matches_hashlib():
+    texts = ["abc", "", "héllo\nwörld"]
+    assert K.sha256_hex(texts) == [
+        hashlib.sha256(t.encode()).hexdigest() for t in texts]
+
+
+def test_row_ids_stable_and_nonnegative():
+    ids = K.row_ids(["r1", "r1"], ["a", "b"], ["c", "c"])
+    assert ids.dtype == np.int64 and (ids >= 0).all()
+    ids2 = K.row_ids(["r1"], ["a"], ["c"])
+    assert ids2[0] == ids[0]
+    # separator prevents (repo="r1a") colliding with (repo="r1", path="a")
+    assert K.row_ids(["r1a"], [""], ["c"])[0] != ids[0]
+
+
+def test_identical_content_identical_signature():
+    sig, _, _ = _sig_of(["def f():\n    pass\n"] * 2 + ["other stuff here"])
+    assert (sig[0] == sig[1]).all()
+    assert not (sig[0] == sig[2]).all()
+
+
+def test_empty_doc_gets_sentinel_signature():
+    sig, sh, so = _sig_of(["", "x"])
+    assert (sig[0] == np.iinfo(np.uint64).max).all()
+    assert so[1] - so[0] == 0
+    assert so[2] - so[1] == 1   # short doc -> one whole-token-run shingle
+
+
+def test_minhash_estimates_exact_jaccard():
+    """|Ĵ - J| small on constructed overlap (MinHash property, FIXTURES F2)."""
+    rng = np.random.default_rng(7)
+    base = [f"tok{int(x)}" for x in rng.integers(0, 50_000, 400)]
+    for overlap in (0.9, 0.7, 0.5):
+        keep = int(len(base) * overlap)
+        alt = base[:keep] + [f"alt{int(x)}" for x in
+                             rng.integers(0, 50_000, len(base) - keep)]
+        t1, t2 = " ".join(base), " ".join(alt)
+        sig, sh, so = _sig_of([t1, t2])
+        est = K.est_jaccard(sig[0:1], sig[1:2])[0]
+        exact = K.exact_jaccard_sets(sh[so[0]:so[1]], sh[so[1]:so[2]])
+        assert abs(est - exact) <= 4 / np.sqrt(128), (overlap, est, exact)
+
+
+def test_band_hashes_collide_iff_rows_equal():
+    sig, _, _ = _sig_of(["a b c d e f g h i j"] * 2 + ["k l m n o p q r s t"])
+    bh = K.band_hashes(sig, 32, 4)
+    assert (bh[0] == bh[1]).all()
+    assert not (bh[0] == bh[2]).any()
+
+
+def test_simhash_hamming_tracks_similarity():
+    near_a = "def f(x):\n" + "\n".join(f"    y{i} = x + {i}" for i in range(40))
+    near_b = near_a.replace("y3 = x + 3", "z9 = x * 9")
+    far = " ".join(f"zq{i}" for i in range(200))
+    flat, offs = K.tokenize_hash_batch([near_a, near_b, far])
+    sh, so = K.shingle_hashes(flat, offs, 5)
+    s = K.simhash64(sh, so)
+    d_near = K.hamming64(s[0:1], s[1:2])[0]
+    d_far = K.hamming64(s[0:1], s[2:3])[0]
+    assert d_near < d_far
+
+
+def test_clip01():
+    x = np.array([-0.5, 0.3, 1.7])
+    assert (K.clip01(x) == np.array([0.0, 0.3, 1.0])).all()
+
+
+def test_to_i63_range():
+    x = np.array([0, 2**63 - 1, 2**63, 2**64 - 1], dtype=np.uint64)
+    y = K.to_i63(x)
+    assert y.dtype == np.int64 and (y >= 0).all()

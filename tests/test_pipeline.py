@@ -1,0 +1,158 @@
+"""End-to-end pipeline tests on the planted-defect corpus (FIXTURES F1/F2).
+
+Reference fixtures mirrored:
+- exact duplicate ranks first with score 0
+  (tests/unittests/cleaner/near_duplicates/test_embedding_distance.py:22-40)
+- all-identical corpus degenerates to one cluster / distance 0
+  (zeros-matrix analog, test_embedding_distance.py:9-20)
+- planted mislabel tops the label-error ranking with score ~0
+  (tests/unittests/cleaner/label_errors/test_intra_extra_distance.py:28-46)
+- dup-pair recall >= 0.99 vs brute-force oracle (BASELINE.json north_rule).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raydedup import kernels as K
+from raydedup.config import EngineConfig, LSHConfig
+from raydedup.issues import IssueType
+from raydedup.pipeline import run_pipeline
+from tests import oracle
+
+
+def _ids_for(truth: pa.Table) -> pd.DataFrame:
+    df = truth.to_pandas()
+    df["id"] = K.row_ids(df.repo.tolist(), df.path.tolist(), df.commit.tolist())
+    return df
+
+
+def test_exact_dup_rank0_score0(tiny_result):
+    res, truth = tiny_result
+    top = res.ranked_pairs.take(1)[0]
+    assert top["distance"] == 0.0
+    assert top["jaccard"] == 1.0
+    assert top["id_a"] < top["id_b"]
+
+
+def test_verified_pairs_unique_and_canonical(tiny_result):
+    res, _ = tiny_result
+    vp = res.verified_pairs.to_pandas()
+    assert (vp.id_a < vp.id_b).all()
+    assert not vp.duplicated(subset=["id_a", "id_b"]).any()
+    assert vp.distance.between(0, 1).all()
+    # ranking is monotone nondecreasing (p_distances-style structural assert,
+    # tests/unittests/cleaner/test_selfclean_cleaner.py:28-30)
+    rp = res.ranked_pairs.to_pandas()
+    assert (np.diff(rp.distance.values) >= 0).all()
+
+
+def test_cluster_recall_vs_oracle(tiny_result, tiny_corpus):
+    res, truth = tiny_result
+    code, _ = tiny_corpus
+    df = code.to_pandas()
+    tdf = _ids_for(truth)
+    cfg = EngineConfig()
+    pairs = oracle.brute_force_pairs(df.content.tolist(), tdf.id.tolist(),
+                                     cfg.shingle.k, cfg.verify.threshold)
+    oracle_assign = oracle.union_find_clusters(tdf.id.tolist(), pairs)
+    oracle_pairs = oracle.same_cluster_pairs(oracle_assign)
+
+    cl = res.clusters.to_pandas()
+    engine_assign = dict(zip(cl.id, cl.cluster_id))
+    engine_pairs = oracle.same_cluster_pairs(engine_assign)
+
+    if oracle_pairs:
+        recall = len(oracle_pairs & engine_pairs) / len(oracle_pairs)
+        assert recall >= 0.99, f"recall {recall}"
+    # precision reported (not gated): engine may keep est-J pairs near tau
+    if engine_pairs:
+        precision = len(oracle_pairs & engine_pairs) / len(engine_pairs)
+        assert precision >= 0.9, f"precision {precision}"
+
+
+def test_all_identical_corpus_one_cluster():
+    same = pa.table({
+        "repo": ["r"] * 50, "path": [f"p{i}" for i in range(50)],
+        "commit": ["c"] * 50, "lang": ["py"] * 50,
+        "content": pa.array(["def f(x):\n    return x\n"] * 50,
+                            pa.large_string()),
+    })
+    res = run_pipeline(rd.from_arrow(same))
+    vp = res.verified_pairs.to_pandas()
+    assert len(vp) == 50 * 49 // 2
+    assert (vp.distance == 0).all()
+    cl = res.clusters.to_pandas()
+    assert cl.cluster_id.nunique() == 1
+
+
+def test_empty_and_whitespace_files():
+    weird = pa.table({
+        "repo": ["r"] * 4, "path": list("abcd"), "commit": ["c"] * 4,
+        "lang": ["py"] * 4,
+        "content": pa.array(["", "\n\n", "x", "def g():\n    pass\n"],
+                            pa.large_string()),
+    })
+    res = run_pipeline(rd.from_arrow(weird))
+    cl = res.clusters.to_pandas()
+    assert len(cl) == 4           # every row present, null-content safe
+    # "" and "\n\n" differ in sha but both have zero shingles -> no false dup
+    vp = res.verified_pairs.to_pandas()
+    assert len(vp) == 0
+
+
+def test_label_errors_planted_mislabel(tiny_result):
+    res, truth = tiny_result
+    tdf = _ids_for(truth)
+    mislabel_ids = set(tdf[tdf.defect_kind == "lang_mislabel"].id)
+    le = res.label_errors.to_pandas()
+    k = len(mislabel_ids)
+    top = set(le.head(k).id)
+    assert top == mislabel_ids
+    assert (le.head(k).score == 0.0).all()
+
+
+def test_far_outliers_have_no_neighbors(tiny_result):
+    res, truth = tiny_result
+    tdf = _ids_for(truth)
+    outlier_ids = set(tdf[tdf.defect_kind == "far_outlier"].id)
+    dup = res.duplicity.to_pandas()
+    sub = dup[dup.id.isin(outlier_ids)]
+    assert (sub.off_topic_score == 1.0).all()
+    assert (sub.cluster_size == 1).all()
+
+
+def test_boilerplate_no_false_dups(tiny_result, tiny_corpus):
+    res, truth = tiny_result
+    tdf = _ids_for(truth)
+    boiler = set(tdf[tdf.defect_kind == "boilerplate_hot_band"].id)
+    vp = res.verified_pairs.to_pandas()
+    both = vp[vp.id_a.isin(boiler) & vp.id_b.isin(boiler)]
+    assert len(both) == 0, "shared license header must not create dup pairs"
+
+
+def test_salted_candidates_match_unsalted(tiny_corpus):
+    code, truth = tiny_corpus
+    cfg_salted = EngineConfig(lsh=LSHConfig(salt_buckets=4))
+    res_s = run_pipeline(rd.from_arrow(code), cfg_salted,
+                         issues_to_detect=[IssueType.NEAR_DUPLICATES])
+    res_p = run_pipeline(rd.from_arrow(code),
+                         issues_to_detect=[IssueType.NEAR_DUPLICATES])
+    cl_s = res_s.clusters.to_pandas()
+    cl_p = res_p.clusters.to_pandas()
+    a_s = oracle.same_cluster_pairs(dict(zip(cl_s.id, cl_s.cluster_id)))
+    a_p = oracle.same_cluster_pairs(dict(zip(cl_p.id, cl_p.cluster_id)))
+    assert a_s == a_p, "salted skew-split must preserve cluster assignments"
+
+
+def test_rerun_determinism(tiny_corpus):
+    code, _ = tiny_corpus
+    r1 = run_pipeline(rd.from_arrow(code),
+                      issues_to_detect=[IssueType.NEAR_DUPLICATES])
+    r2 = run_pipeline(rd.from_arrow(code),
+                      issues_to_detect=[IssueType.NEAR_DUPLICATES])
+    p1 = r1.verified_pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    p2 = r2.verified_pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(p1, p2)
