@@ -1,16 +1,11 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per operator, oracle_sql() DuckDB
+equivalents (column names match exactly; driver sorts columns by name and
+value-hashes).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import; nothing here calls ray.init.
+Non-SQL-expressible ops (MinHash/LSH/CC, SimHash, lang-id) have no oracle
+entry -> the driver records a rows-only check; their real gates are the
+brute-force-oracle pytest fixtures (tests/test_pipeline.py).
 """
 
 from __future__ import annotations
@@ -18,27 +13,279 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+# ---------------------------------------------------------------- helpers
+
+def _documents(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_as_code(sf_dir: str) -> ray.data.Dataset:
+    from raydedup.stages.ingest import documents_as_code_files
+    return documents_as_code_files(sf_dir)
+
+
+def _cfg():
+    from raydedup.config import EngineConfig
+    return EngineConfig()
+
+
+def _collect(ds: ray.data.Dataset, schema: pa.Schema) -> pa.Table:
+    """Materialize a possibly-empty Dataset as a pyarrow Table that KEEPS its
+    schema (Ray empty datasets drop theirs, which breaks the driver compare).
+    Only used for small results (dup groups / pair lists)."""
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    batches = [b for b in batches if b.num_rows and b.num_columns]
+    if not batches:
+        return schema.empty_table()
+    return pa.concat_tables(
+        [b.select(schema.names).cast(schema) for b in batches])
+
+
+# ---------------------------------------------------------------- entry()
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship near-dup pipeline on sf0.001 documents: ranked verified pairs
+    plus cluster assignment counts; >= 0 rows with a stable schema."""
+    from raydedup.pipeline import run_pipeline
+    res = run_pipeline(_docs_as_code("/root/testdata/sf0.001"))
+    return res.clusters
+
+
+# ---------------------------------------------------------------- queries()
+
+def _q_exact_dup_groups(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from raydedup.stages.ingest import ingest
+    ing = ingest(_docs_as_code(sf_dir))
+    g = ing.groupby("content_sha256").aggregate(Count(alias_name="n_copies"))
+    out = g.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_copies"), pa.scalar(1))),
+        batch_format="pyarrow")
+    return _collect(out, pa.schema([("content_sha256", pa.string()),
+                                    ("n_copies", pa.int64())]))
+
+
+def _q_exact_dedup_keep_first(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    from raydedup.stages.ingest import ingest
+    ing = ingest(_docs_as_code(sf_dir))
+    return ing.groupby("content_sha256").aggregate(
+        Min("id", alias_name="doc_id"),
+        Count(alias_name="n_copies"),
+    ).select_columns(["doc_id", "n_copies"])
+
+
+def _q_doc_counts_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count
+    return _documents(sf_dir).groupby("lang").aggregate(
+        Count(alias_name="n_docs"))
+
+
+def _q_top_longest_docs(sf_dir: str):
+    return _documents(sf_dir).select_columns(["doc_id", "n_chars"]) \
+        .sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+def _q_token_counts(sf_dir: str):
+    from raydedup.stages.textstats import token_counts
+    return token_counts(_documents(sf_dir))
+
+
+def _q_quality_scores(sf_dir: str):
+    from raydedup.stages.textstats import quality_scores
+    return quality_scores(_documents(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    from raydedup.stages.textstats import fingerprints
+    return fingerprints(_documents(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from raydedup.stages.textstats import lang_id
+    return lang_id(_documents(sf_dir))
+
+
+_PAIR_SCHEMA = pa.schema([
+    ("id_a", pa.int64()), ("id_b", pa.int64()),
+    ("est_jaccard", pa.float64()), ("jaccard", pa.float64()),
+    ("distance", pa.float64()),
+])
+
+
+def _q_minhash_dup_pairs(sf_dir: str):
+    from raydedup.pipeline import run_pipeline
+    res = run_pipeline(_docs_as_code(sf_dir))
+    return _collect(res.ranked_pairs, _PAIR_SCHEMA)
+
+
+def _q_dup_clusters(sf_dir: str):
+    from raydedup.pipeline import run_pipeline
+    res = run_pipeline(_docs_as_code(sf_dir))
+    return res.clusters
+
+
+def _q_duplicity_ranking(sf_dir: str):
+    from raydedup.pipeline import run_pipeline
+    from raydedup.stages.rank import duplicity_ranking
+    res = run_pipeline(_docs_as_code(sf_dir))
+    return duplicity_ranking(res.duplicity)
+
+
+def _q_simhash_dup_pairs(sf_dir: str):
+    from raydedup.config import EngineConfig
+    from raydedup.stages.ingest import ingest
+    from raydedup.stages.signatures import compute_signatures
+    from raydedup.stages.simhash import simhash_pairs
+    cfg = EngineConfig()
+    sigs = compute_signatures(ingest(_docs_as_code(sf_dir)), cfg).materialize()
+    return _collect(simhash_pairs(sigs, cfg),
+                    pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("hamming", pa.int64())]))
+
+
+def _q_label_error_candidates(sf_dir: str):
+    from raydedup.issues import IssueType
+    from raydedup.pipeline import run_pipeline
+    res = run_pipeline(_docs_as_code(sf_dir),
+                       issues_to_detect=[IssueType.LABEL_ERRORS])
+    return res.label_errors
+
+
+def _q_embedding_near_dup_pairs(sf_dir: str):
+    from raydedup.stages.embedding import cosine_pairs, load_embeddings
+    return cosine_pairs(load_embeddings(f"{sf_dir}/embeddings.parquet"),
+                        threshold=0.4)
+
+
+def _q_embedding_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from raydedup.stages.embedding import knn_search, load_embeddings
+    ds = load_embeddings(f"{sf_dir}/embeddings.parquet")
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qt = qt.sort_by("vec_id").slice(0, 8)
+    q = np.array(qt.column("embedding").to_pylist(), dtype=np.float32)
+    qids = np.array(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    out = knn_search(ds, q, qids, k=5)
+    return out.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def _q_embedding_pair_ranking(sf_dir: str):
+    from raydedup.stages.embedding import load_embeddings, pair_ranking
+    return pair_ranking(load_embeddings(f"{sf_dir}/embeddings.parquet"),
+                        limit=500)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "exact_dup_groups": _q_exact_dup_groups,
+        "exact_dedup_keep_first": _q_exact_dedup_keep_first,
+        "doc_counts_by_lang": _q_doc_counts_by_lang,
+        "top_longest_docs": _q_top_longest_docs,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "fingerprints": _q_fingerprints,
+        "lang_id": _q_lang_id,
+        "minhash_dup_pairs": _q_minhash_dup_pairs,
+        "dup_clusters": _q_dup_clusters,
+        "duplicity_ranking": _q_duplicity_ranking,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "label_error_candidates": _q_label_error_candidates,
+        "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
+        "embedding_knn": _q_embedding_knn,
+        "embedding_pair_ranking": _q_embedding_pair_ranking,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_groups": """
+            SELECT sha256(text) AS content_sha256,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "exact_dedup_keep_first": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "doc_counts_by_lang": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "top_longest_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+                   length(text) - length(regexp_replace(text, '\s', '', 'g')) AS ws_chars,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             / CAST(length(text) AS DOUBLE)
+                        ELSE 0.0 END AS alpha_ratio
+            FROM documents
+        """,
+        "fingerprints": r"""
+            SELECT doc_id,
+                   sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 9) AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "embedding_knn": """
+            WITH sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])) AS sim
+                FROM embeddings q JOIN embeddings c ON TRUE
+                WHERE q.vec_id IN (SELECT vec_id FROM embeddings
+                                   ORDER BY vec_id LIMIT 8)
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id ASC)
+                           AS rank
+                FROM sims
+            )
+            SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        """,
+        "embedding_pair_ranking": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(least(greatest(
+                       1.0 - (list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+                              + 1.0) / 2.0, 0.0), 1.0), 9) AS distance
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ORDER BY distance ASC, id_a ASC, id_b ASC
+            LIMIT 500
+        """,
+    }

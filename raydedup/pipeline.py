@@ -64,17 +64,34 @@ def _sha_representatives():
 def run_pipeline(code_files: ray.data.Dataset,
                  cfg: Optional[EngineConfig] = None,
                  issues_to_detect: Sequence[IssueType] = DEFAULT_ISSUES,
+                 ckpt_dir: Optional[str] = None,
+                 input_token: str = "",
                  ) -> DedupResult:
+    """Flagship run. With ckpt_dir set, every wide-stage output is written to
+    per-stage Parquet with a lineage manifest; a rerun with the same config +
+    input token resumes from the last completed stage (mid-shuffle resume)."""
     cfg = cfg or EngineConfig()
     issues = {IssueType.canonical(i) for i in issues_to_detect}
 
-    ingested = I.ingest(code_files)
-    sigs = S.compute_signatures(ingested, cfg)
-    # signatures fan out to 4+ consumers (exact pairs, reps, ids, label errors)
-    # — materialize once so the content scan + hashing runs once, not per
-    # consumer. ~3 KB/row (ids + hashes only, content dropped); at cluster
-    # scale this is the per-stage parquet checkpoint instead (checkpoint.py).
-    sigs = sigs.materialize()
+    ckpt = None
+    if ckpt_dir is not None:
+        import os
+
+        from raydedup.checkpoint import CheckpointManager, config_hash
+        os.makedirs(ckpt_dir, exist_ok=True)
+        ckpt = CheckpointManager(root=ckpt_dir, cfg_hash=config_hash(cfg),
+                                 input_token=input_token)
+
+    def staged(name, build):
+        if ckpt is not None:
+            return ckpt.stage(name, build)
+        return build().materialize()
+
+    # signatures fan out to 4+ consumers (exact pairs, reps, ids, label
+    # errors) — checkpoint/materialize once so the content scan + hashing
+    # runs once, not per consumer (~3 KB/row, content dropped).
+    sigs = staged("signatures",
+                  lambda: S.compute_signatures(I.ingest(code_files), cfg))
 
     # exact-dup fast path (SURVEY §2.7): star/all pairs within sha groups
     exact_pairs = sigs.select_columns(["id", "content_sha256"]) \
@@ -82,25 +99,26 @@ def run_pipeline(code_files: ray.data.Dataset,
         .map_groups(_exact_group_pairs(cfg.lsh.max_group_pairs),
                     batch_format="pyarrow")
 
-    # one representative per distinct content for the near-dup plane
-    rep_sigs = sigs.groupby("content_sha256").map_groups(
-        _sha_representatives(), batch_format="pyarrow")
+    # one representative per distinct content for the near-dup plane;
+    # consumed by candidates AND verify
+    rep_sigs = staged("rep_sigs",
+                      lambda: sigs.groupby("content_sha256").map_groups(
+                          _sha_representatives(), batch_format="pyarrow"))
 
-    rep_sigs = rep_sigs.materialize()   # consumed by candidates AND verify
-    cand = C.candidate_pairs(rep_sigs, cfg)
-    near_pairs = V.verify_pairs(cand, rep_sigs, cfg)
     # verified pairs are the hub of every downstream ranking/clustering stage
     # and are small (only pairs above threshold)
-    verified = exact_pairs.union(near_pairs).materialize()
+    verified = staged("verified_pairs", lambda: exact_pairs.union(
+        V.verify_pairs(C.candidate_pairs(rep_sigs, cfg), rep_sigs, cfg)))
 
-    result = DedupResult(ingested=ingested, signatures=sigs,
+    result = DedupResult(ingested=I.ingest(code_files), signatures=sigs,
                          verified_pairs=verified)
 
     if IssueType.NEAR_DUPLICATES in issues:
         result.ranked_pairs = R.ranked_pairs(verified)
     if IssueType.OFF_TOPIC in issues or IssueType.NEAR_DUPLICATES in issues:
         ids = sigs.select_columns(["id"])
-        result.clusters = CL.connected_components(verified, ids, cfg)
+        result.clusters = staged(
+            "clusters", lambda: CL.connected_components(verified, ids, cfg))
         result.duplicity = R.duplicity(verified, result.clusters, cfg)
     if IssueType.LABEL_ERRORS in issues:
         from raydedup.stages.labelerrors import label_error_scores
@@ -110,6 +128,7 @@ def run_pipeline(code_files: ray.data.Dataset,
 
 def run_on_parquet(path: str, cfg: Optional[EngineConfig] = None,
                    issues_to_detect: Sequence[IssueType] = DEFAULT_ISSUES,
-                   ) -> DedupResult:
+                   ckpt_dir: Optional[str] = None) -> DedupResult:
     """Flagship entry (analog of run_on_image_folder, selfclean.py:127-173)."""
-    return run_pipeline(I.read_code_files(path), cfg, issues_to_detect)
+    return run_pipeline(I.read_code_files(path), cfg, issues_to_detect,
+                        ckpt_dir=ckpt_dir, input_token=path)

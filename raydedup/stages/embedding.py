@@ -1,0 +1,138 @@
+"""Embedding-space operators over a `list<float>` embedding column.
+
+- all-pairs cosine-distance pair ranking: the reference's actual near-dup
+  semantics (dense distance matrix -> condensed ascending ranking,
+  selfclean/cleaner/selfclean_cleaner.py:121-177 +
+  near_duplicates/embedding_distance_mixin.py:41-83), feasible at small N and
+  kept as the parity surface for the driver `embeddings` table.
+- embedding near-dup pairs at a cosine threshold (sparse output).
+- brute-force top-k cosine similarity search: each batch of the corpus is
+  scored against a BROADCAST query matrix (ray.put once, numpy matmul per
+  batch) — the baseline ANN per the task brief; the scale path would bucket
+  by coarse quantizer (IVF) using the same groupby machinery as LSH.
+
+All batch kernels are numpy matmuls over Arrow list columns; ids are int64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = t.column(col).combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return vals.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def load_embeddings(path: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+
+def cosine_pairs(ds: ray.data.Dataset, threshold: float,
+                 id_col: str = "vec_id") -> ray.data.Dataset:
+    """All (id_a < id_b) pairs with cosine similarity >= threshold.
+
+    The full matrix is broadcast once (ray.put) and every batch computes its
+    block of rows against it — the chunked-row pattern of the reference's fit
+    loop (selfclean_cleaner.py:121-135) distributed over blocks. O(N^2/B) per
+    batch; intended for the small embedding side-table, not the main corpus.
+    """
+    whole = pa.concat_tables(
+        ds.select_columns([id_col, "embedding"])
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20),
+        promote_options="default")
+    all_ids = whole.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(_emb_matrix(whole))
+    ref = ray.put((all_ids, mat))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids_b, mat_b = ray.get(ref)
+        ids_a = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m_a = _normalize(_emb_matrix(t))
+        sims = m_a @ mat_b.T                       # (batch, N)
+        ia, ib = np.nonzero(sims >= threshold)
+        keep = ids_a[ia] < ids_b[ib]               # canonical + no self-pairs
+        ia, ib = ia[keep], ib[keep]
+        return pa.table({
+            "id_a": pa.array(ids_a[ia], pa.int64()),
+            "id_b": pa.array(ids_b[ib], pa.int64()),
+            "cosine_sim": pa.array(np.round(sims[ia, ib], 9), pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pair_ranking(ds: ray.data.Dataset, id_col: str = "vec_id",
+                 limit: int | None = None) -> ray.data.Dataset:
+    """Reference-parity ascending cosine-distance pair ranking.
+
+    distance = 1 - (sim+1)/2 (the reference's cosine->distance affine map,
+    selfclean_cleaner.py:142-144), clipped to [0,1] (:147-149); global
+    ascending sort with (id_a, id_b) tie-break replaces the condensed argsort
+    (embedding_distance_mixin.py:41-83).
+    """
+    pairs = cosine_pairs(ds, threshold=-2.0, id_col=id_col)  # all pairs
+
+    def to_dist(t: pa.Table) -> pa.Table:
+        sim = t.column("cosine_sim").to_numpy(zero_copy_only=False)
+        dist = np.round(np.clip(1.0 - (sim + 1.0) / 2.0, 0.0, 1.0), 9)
+        return pa.table({"id_a": t.column("id_a"), "id_b": t.column("id_b"),
+                         "distance": pa.array(dist, pa.float64())})
+
+    ranked = pairs.map_batches(to_dist, batch_format="pyarrow") \
+        .sort(["distance", "id_a", "id_b"])
+    return ranked.limit(limit) if limit else ranked
+
+
+def knn_search(ds: ray.data.Dataset, queries: np.ndarray,
+               query_ids: np.ndarray, k: int,
+               id_col: str = "vec_id") -> ray.data.Dataset:
+    """Brute-force top-k cosine neighbors of each query vector.
+
+    queries: (Q, D) matrix, broadcast via ray.put; each corpus batch emits its
+    local top-k per query; a final per-query map_groups reduces to the global
+    top-k (partial top-k then merge — no full N x Q materialization).
+    Ties broken on neighbor id ascending (deterministic).
+    """
+    qn = _normalize(queries.astype(np.float64))
+    qref = ray.put((query_ids.astype(np.int64), qn))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qids, qm = ray.get(qref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_emb_matrix(t))
+        sims = qm @ m.T                            # (Q, batch)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(qids, kk)
+        cols = idx.ravel()
+        return pa.table({
+            "query_id": pa.array(rows, pa.int64()),
+            "neighbor_id": pa.array(ids[cols], pa.int64()),
+            "cosine_sim": pa.array(
+                np.take_along_axis(sims, idx, axis=1).ravel(), pa.float64()),
+        })
+
+    def reduce_topk(t: pa.Table) -> pa.Table:
+        sims = t.column("cosine_sim").to_numpy(zero_copy_only=False)
+        nid = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sims))[:k]
+        out = t.take(order)
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1), pa.int64()))
+
+    return ds.map_batches(local_topk, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
