@@ -117,7 +117,8 @@ def _q_lang_id(sf_dir: str):
 _PAIR_SCHEMA = pa.schema([
     ("id_a", pa.int64()), ("id_b", pa.int64()),
     ("est_jaccard", pa.float64()), ("jaccard", pa.float64()),
-    ("distance", pa.float64()),
+    ("containment", pa.float64()), ("distance", pa.float64()),
+    ("match_kind", pa.string()),
 ])
 
 
@@ -146,7 +147,8 @@ def _q_simhash_dup_pairs(sf_dir: str):
     from raydedup.stages.signatures import compute_signatures
     from raydedup.stages.simhash import simhash_pairs
     cfg = EngineConfig()
-    sigs = compute_signatures(ingest(_docs_as_code(sf_dir)), cfg).materialize()
+    sigs = compute_signatures(ingest(_docs_as_code(sf_dir)), cfg,
+                              with_simhash=True).materialize()
     return _collect(simhash_pairs(sigs, cfg),
                     pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                                ("hamming", pa.int64())]))

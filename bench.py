@@ -1,0 +1,173 @@
+"""Benchmark driver.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus the synthetic code-corpus flagship, with
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32), and prints ONE
+JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "corpus_rows": R,
+   "files_per_s": F}
+
+--scaling: runs the same flagship twice in FRESH processes at num_cpus=N and
+num_cpus=4N (default 4 and 16, env GRAFT_SCALE_LO/HI) on the same input — the
+sandbox evidence for the N->4N cluster-size criterion — and prints both
+throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "50000"))
+# scaling runs need compute to dominate the fixed orchestration floor
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "400000"))
+# N and 4N parallelism levels for the scaling criterion. 4/16 (not 8/32):
+# this host's parallel capacity saturates ~25 effective cores at 32 procs
+# (memory bandwidth), which alone caps an 8->32 ratio at ~0.8 before any
+# engine overhead; 1->16 scales ~0.96x/core on pure-CPU burn tests.
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+BENCH_SEED = 42
+
+
+def ensure_corpus(rows: int = None) -> str:
+    """Deterministic synthetic code corpus, cached across runs (FIXTURES F4)."""
+    rows = rows or BENCH_ROWS
+    cache = f"/tmp/raydedup_bench_corpus_{rows}_{BENCH_SEED}"
+    code_dir = os.path.join(cache, "code_files")
+    marker = os.path.join(cache, "DONE")
+    if os.path.exists(marker):
+        return code_dir
+    from raydedup import corpus
+    os.makedirs(cache, exist_ok=True)
+    corpus.write_corpus_parallel(cache, rows, seed=BENCH_SEED, num_files=32,
+                                 procs=16)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return code_dir
+
+
+def run_bench(num_cpus: int, sf_dir: str) -> dict:
+    import ray
+    import ray.data as rd
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+
+    from raydedup.config import EngineConfig
+    from raydedup.issues import IssueType
+    from raydedup.pipeline import run_on_parquet, run_pipeline
+    from raydedup.stages.ingest import documents_as_code_files
+    from raydedup.stages.textstats import fingerprints, token_counts
+
+    queries: dict[str, float] = {}
+    run_rows = int(os.environ.get("GRAFT_RUN_ROWS", BENCH_ROWS))
+    code_dir = ensure_corpus(run_rows)
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    rd.read_parquet(code_dir).count()
+
+    cfg = EngineConfig(sig_concurrency=max(2, num_cpus - 2),
+                       join_num_partitions=num_cpus)
+
+    t0 = time.perf_counter()
+    res = run_pipeline(rd.read_parquet(
+        code_dir, columns=["repo", "path", "commit", "lang", "content"]),
+        cfg, issues_to_detect=[IssueType.NEAR_DUPLICATES])
+    n_pairs = res.verified_pairs.count()
+    n_clusters = res.clusters.count()
+    flagship_s = time.perf_counter() - t0
+    queries["flagship_corpus_dedup"] = round(flagship_s, 3)
+
+    t0 = time.perf_counter()
+    dres = run_pipeline(documents_as_code_files(sf_dir))
+    dres.clusters.count()
+    queries["documents_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    token_counts(docs).count()
+    queries["token_counts"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    fingerprints(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
+    queries["fingerprints"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    import pyarrow.parquet as pq
+
+    from raydedup.stages.embedding import knn_search, load_embeddings
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"]).sort_by("vec_id") \
+        .slice(0, 8)
+    knn_search(load_embeddings(f"{sf_dir}/embeddings.parquet"),
+               np.array(qt.column("embedding").to_pylist(), dtype=np.float64),
+               np.array(qt.column("vec_id").to_pylist(), dtype=np.int64),
+               k=5).count()
+    queries["embedding_knn"] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "dedup_pipeline_wall_sec",
+        "value": round(flagship_s, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "corpus_rows": run_rows,
+        "files_per_s": round(run_rows / flagship_s, 1),
+        "n_pairs": n_pairs,
+        "n_clusters": n_clusters,
+    }
+
+
+def run_scaling() -> dict:
+    """Same flagship job at two parallelism levels (N and 4N CPUs) in fresh
+    processes on the identical cached corpus."""
+    ensure_corpus(SCALING_ROWS)   # generate once; both runs read it
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_RUN_ROWS=str(SCALING_ROWS))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = SCALE_LO, SCALE_HI
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "files_per_s_lo": r_lo["files_per_s"],
+        "files_per_s_hi": r_hi["files_per_s"],
+        "scaling_efficiency": round(eff, 3),
+        "corpus_rows": SCALING_ROWS,
+    }
+
+
+def main():
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    result = run_bench(num_cpus, sf_dir)
+    print(json.dumps(result))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

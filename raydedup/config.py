@@ -62,6 +62,11 @@ class VerifyConfig:
     # exact Jaccard over shingle sets (the thin near-threshold band).
     exact_band: float = 0.15
     use_exact: bool = True
+    # substring containment (north_star "suffix-array substring pass"):
+    # candidate pairs whose shingle-set containment |A∩B|/min(|A|,|B|) >= this
+    # are kept as match_kind="substring" even below the Jaccard threshold
+    # (file A embedded verbatim in larger file B). 0 disables.
+    containment_threshold: float = 0.9
 
 
 @dataclass(frozen=True)
@@ -88,6 +93,9 @@ class EngineConfig:
     join_num_partitions: int = 16   # hash-join partitions for sig/pair joins
     cc_max_iters: int = 20          # hash-min propagation rounds (O(log N) expected)
     cc_driver_edge_limit: int = 2_000_000  # below this, CC runs driver-side union-find
+    # rep-id sets up to this size are broadcast (ray.put) for the semi-join
+    # instead of hash-joining the signature payloads; beyond it, join.
+    broadcast_id_limit: int = 20_000_000
 
     def __post_init__(self):
         assert self.minhash.num_perm == self.lsh.bands * self.lsh.rows, (

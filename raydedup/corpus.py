@@ -179,6 +179,32 @@ def generate(n_rows: int = 200, seed: int = 42):
     return code, truth
 
 
+def _gen_chunk(args):
+    import pyarrow.parquet as pq
+    out_path, n, seed = args
+    code, _ = generate(n, seed)
+    pq.write_table(code, out_path)
+    return out_path
+
+
+def write_corpus_parallel(out_dir: str, n_rows: int, seed: int = 42,
+                          num_files: int = 16, procs: int = 16) -> str:
+    """Deterministic parallel corpus generation: chunk i uses seed*1000+i, so
+    output depends only on (n_rows, seed, num_files). Used by bench for the
+    large scaling corpora; planted-defect mixes are per-chunk."""
+    import multiprocessing as mp
+    import os
+    code_dir = os.path.join(out_dir, "code_files")
+    os.makedirs(code_dir, exist_ok=True)
+    per = (n_rows + num_files - 1) // num_files
+    jobs = [(os.path.join(code_dir, f"part-{i:05d}.parquet"),
+             min(per, n_rows - i * per), seed * 1000 + i)
+            for i in range(num_files) if n_rows - i * per > 0]
+    with mp.Pool(min(procs, len(jobs))) as pool:
+        pool.map(_gen_chunk, jobs)
+    return code_dir
+
+
 def write_corpus(out_dir: str, n_rows: int, seed: int = 42, num_files: int = 1):
     """Write the corpus as `num_files` parquet files under out_dir (parallel
     read at bench scale). Returns (code_dir, truth_path)."""

@@ -176,38 +176,59 @@ def shingle_hashes(flat_hashes: np.ndarray, doc_offsets: np.ndarray, k: int):
     return out, sh_offsets
 
 
-def minhash_signatures(shingles: np.ndarray, sh_offsets: np.ndarray,
-                       perm_seeds: np.ndarray, row_chunk: int = 200_000):
-    """(n, P) uint64 MinHash signatures. Docs with zero shingles get all-ones
-    sentinel (uint64 max) signatures; callers filter them out.
+SENTINEL64 = np.iinfo(np.uint64).max
 
-    Vectorized: splitmix64(shingle ^ seed_p) then minimum.reduceat per doc.
-    Memory is bounded by chunking the shingle axis (row_chunk shingles x P).
+
+def minhash_signatures(shingles: np.ndarray, sh_offsets: np.ndarray,
+                       perm_seeds: np.ndarray, row_chunk: int = 0):
+    """(n, P) uint64 MinHash signatures via One-Permutation Hashing (OPH)
+    with rotation densification (public algorithm: Li, Owen, Zhang 2012;
+    Shrivastava 2017 densification) — O(S + P) per doc instead of the
+    classic O(S * P) per-permutation construction, which dominated the
+    signature stage's profile.
+
+    Bin = top log2(P) bits of the (already splitmix-mixed) shingle hash;
+    value = the hash itself; sig[bin] = min over the doc's shingles in that
+    bin; empty bins borrow cyclically from the nearest filled bin to the
+    left (deterministic, so two docs sharing filled bins densify alike).
+    Docs with zero shingles keep the all-sentinel signature; callers filter.
+
+    perm_seeds is retained for config compatibility (P = len(perm_seeds));
+    determinism comes from the shingle hashing itself.
     """
     n = len(sh_offsets) - 1
     P = len(perm_seeds)
-    sig = np.full((n, P), np.iinfo(np.uint64).max, dtype=U64)
-    if len(shingles) == 0:
+    assert P & (P - 1) == 0, "num_perm must be a power of two for OPH"
+    sig = np.full((n, P), SENTINEL64, dtype=U64)
+    if len(shingles) == 0 or n == 0:
         return sig
-    # process contiguous runs of docs whose shingles fit the chunk budget
-    d0 = 0
-    while d0 < n:
-        d1 = d0
-        while d1 < n and (sh_offsets[d1 + 1] - sh_offsets[d0]) <= row_chunk:
-            d1 += 1
-        d1 = max(d1, d0 + 1)  # at least one doc even if it alone exceeds chunk
-        lo, hi = int(sh_offsets[d0]), int(sh_offsets[d1])
-        if hi > lo:
-            sub = shingles[lo:hi]
-            with np.errstate(over="ignore"):
-                m = splitmix64(sub[:, None] ^ perm_seeds[None, :])
-            offs = (sh_offsets[d0:d1] - lo).astype(np.int64)
-            nonempty = (sh_offsets[d0 + 1:d1 + 1] - sh_offsets[d0:d1]) > 0
-            red = np.minimum.reduceat(m, np.minimum(offs, len(sub) - 1), axis=0)
-            # reduceat on an empty segment returns the element at the offset;
-            # mask those docs back to sentinel
-            sig[d0:d1][nonempty] = red[nonempty]
-        d0 = d1
+    counts = (sh_offsets[1:] - sh_offsets[:-1]).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    shift = U64(64 - int(np.log2(P)))
+    bins = (shingles >> shift).astype(np.int64)
+    flat_idx = doc_idx * P + bins
+    # segment-min via sort + reduceat (ufunc.at is orders slower)
+    order = np.argsort(flat_idx, kind="stable")
+    fi = flat_idx[order]
+    v = shingles[order]
+    starts = np.nonzero(np.r_[True, fi[1:] != fi[:-1]])[0]
+    mins = np.minimum.reduceat(v, starts)
+    sig.ravel()[fi[starts]] = mins
+
+    # rotation densification: nearest filled bin to the left, cyclic —
+    # double-width cummax over filled positions, fully vectorized
+    filled = sig != SENTINEL64
+    any_filled = filled.any(axis=1)
+    if filled.all():
+        return sig
+    pos = np.arange(2 * P, dtype=np.int64)
+    filled2 = np.where(np.concatenate([filled, filled], axis=1),
+                       pos[None, :], -1)
+    src_pos = np.maximum.accumulate(filled2, axis=1)[:, P:]
+    src_bin = np.where(src_pos >= 0, src_pos % P, 0)
+    borrowed = np.take_along_axis(sig, src_bin, axis=1)
+    need = (~filled) & (src_pos >= 0) & any_filled[:, None]
+    sig = np.where(need, borrowed, sig)
     return sig
 
 

@@ -25,6 +25,7 @@ import ray.data
 
 from raydedup.config import EngineConfig
 from raydedup.issues import DEFAULT_ISSUES, DedupResult, IssueType
+from raydedup.util import hash_join
 from raydedup.stages import candidates as C
 from raydedup.stages import cluster as CL
 from raydedup.stages import ingest as I
@@ -33,32 +34,57 @@ from raydedup.stages import signatures as S
 from raydedup.stages import verify as V
 
 
-def _exact_group_pairs(cap: int):
-    """Per-sha group -> (pairs at distance 0, rep rows)."""
+def _exact_pairs_and_reps(sigs: ray.data.Dataset, cfg: EngineConfig):
+    """ONE sha-sort serves both the exact-dup pair emission and the per-sha
+    representative selection (SURVEY §2.7). Returns (exact_pairs, rep_sigs).
 
-    def fn(t: pa.Table) -> pa.Table:
-        ids = np.sort(t.column("id").to_numpy(zero_copy_only=False)
-                      .astype(np.int64))
-        a, b = C.emit_pairs(ids, cap)
+    rep_sigs semi-join: when the rep id set fits the driver
+    (cfg.broadcast_id_limit) it is broadcast once (ray.put via closure) and
+    applied as a vectorized np.isin filter — no shuffle of the signature
+    payloads; beyond the limit it falls back to a hash join."""
+    srt = sigs.select_columns(["content_sha256", "id"]) \
+        .sort("content_sha256").materialize()
+
+    pairs = C.grouped_pairs(None, "content_sha256", cfg.lsh.max_group_pairs,
+                            cfg.join_num_partitions, mode="all", srt=srt)
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         return pa.table({
-            "id_a": pa.array(a, pa.int64()),
-            "id_b": pa.array(b, pa.int64()),
-            "est_jaccard": pa.array(np.ones(len(a)), pa.float64()),
-            "jaccard": pa.array(np.ones(len(a)), pa.float64()),
-            "distance": pa.array(np.zeros(len(a)), pa.float64()),
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "est_jaccard": pa.array(np.ones(n), pa.float64()),
+            "jaccard": pa.array(np.ones(n), pa.float64()),
+            "containment": pa.array(np.ones(n), pa.float64()),
+            "distance": pa.array(np.zeros(n), pa.float64()),
+            "match_kind": pa.array(["exact"] * n, pa.string()),
         })
 
-    return fn
+    exact_pairs = pairs.map_batches(score, batch_format="pyarrow")
 
+    rep_ids = C.run_minima(srt, "content_sha256", cfg.join_num_partitions)
+    from raydedup.util import collect_up_to
+    rep_tbl = collect_up_to(rep_ids, cfg.broadcast_id_limit)
+    if rep_tbl is not None:
+        id_set = np.sort(
+            rep_tbl.column("id").to_numpy(zero_copy_only=False)) \
+            if rep_tbl.num_rows else np.empty(0, np.int64)
 
-def _sha_representatives():
-    """Per-sha group -> the signature row with the min id."""
+        def keep_reps(t: pa.Table) -> pa.Table:
+            ids = t.column("id").to_numpy(zero_copy_only=False)
+            mask = np.zeros(len(ids), dtype=bool)
+            if len(id_set):
+                pos = np.searchsorted(id_set, ids)
+                pos = np.clip(pos, 0, len(id_set) - 1)
+                mask = id_set[pos] == ids
+            return t.filter(pa.array(mask))
 
-    def fn(t: pa.Table) -> pa.Table:
-        ids = t.column("id").to_numpy(zero_copy_only=False)
-        return t.take([int(np.argmin(ids))])
-
-    return fn
+        rep_sigs = sigs.map_batches(keep_reps, batch_format="pyarrow")
+    else:
+        rep_sigs = hash_join(sigs, rep_ids.rename_columns({"id": "rep_id"}),
+                             on="id", right_on="rep_id",
+                             num_partitions=cfg.join_num_partitions)
+    return exact_pairs, rep_sigs
 
 
 def run_pipeline(code_files: ray.data.Dataset,
@@ -82,28 +108,43 @@ def run_pipeline(code_files: ray.data.Dataset,
         ckpt = CheckpointManager(root=ckpt_dir, cfg_hash=config_hash(cfg),
                                  input_token=input_token)
 
+    import os
+    import time as _time
+    debug_t = os.environ.get("RAYDEDUP_TIMING")
+    _t0 = _time.perf_counter()
+
+    def _lap(name):
+        if debug_t:
+            print(f"[timing] {name}: {_time.perf_counter() - _t0:.1f}s",
+                  flush=True)
+
     def staged(name, build):
         if ckpt is not None:
-            return ckpt.stage(name, build)
-        return build().materialize()
+            out = ckpt.stage(name, build)
+        else:
+            out = build().materialize()
+        _lap(name)
+        return out
 
     # signatures fan out to 4+ consumers (exact pairs, reps, ids, label
     # errors) — checkpoint/materialize once so the content scan + hashing
-    # runs once, not per consumer (~3 KB/row, content dropped).
+    # runs once, not per consumer (~3 KB/row, content dropped). Blocks are
+    # coalesced to ~4/CPU: the read stage splits into hundreds of small
+    # blocks and every downstream scan would pay per-task overhead on each.
+    import ray as _ray
+    try:
+        _cpus = int(_ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        _cpus = 4
     sigs = staged("signatures",
-                  lambda: S.compute_signatures(I.ingest(code_files), cfg))
+                  lambda: S.compute_signatures(I.ingest(code_files), cfg)
+                  .repartition(4 * _cpus))
 
-    # exact-dup fast path (SURVEY §2.7): star/all pairs within sha groups
-    exact_pairs = sigs.select_columns(["id", "content_sha256"]) \
-        .groupby("content_sha256") \
-        .map_groups(_exact_group_pairs(cfg.lsh.max_group_pairs),
-                    batch_format="pyarrow")
-
-    # one representative per distinct content for the near-dup plane;
-    # consumed by candidates AND verify
-    rep_sigs = staged("rep_sigs",
-                      lambda: sigs.groupby("content_sha256").map_groups(
-                          _sha_representatives(), batch_format="pyarrow"))
+    # exact-dup fast path (SURVEY §2.7) + one representative per distinct
+    # content for the near-dup plane (consumed by candidates AND verify)
+    exact_pairs, rep_sigs_lazy = _exact_pairs_and_reps(sigs, cfg)
+    _lap("exact+reps build")
+    rep_sigs = staged("rep_sigs", lambda: rep_sigs_lazy)
 
     # verified pairs are the hub of every downstream ranking/clustering stage
     # and are small (only pairs above threshold)
@@ -120,6 +161,7 @@ def run_pipeline(code_files: ray.data.Dataset,
         result.clusters = staged(
             "clusters", lambda: CL.connected_components(verified, ids, cfg))
         result.duplicity = R.duplicity(verified, result.clusters, cfg)
+        _lap("duplicity build")
     if IssueType.LABEL_ERRORS in issues:
         from raydedup.stages.labelerrors import label_error_scores
         result.label_errors = label_error_scores(verified, sigs, cfg)

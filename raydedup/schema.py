@@ -60,7 +60,9 @@ VERIFIED_PAIRS = pa.schema([
     ("id_b", pa.int64()),
     ("est_jaccard", pa.float64()),
     ("jaccard", pa.float64()),      # exact where computed, else estimate
+    ("containment", pa.float64()),  # |A∩B| / min(|A|,|B|) shingle sets
     ("distance", pa.float64()),     # 1 - jaccard, clipped to [0,1]
+    ("match_kind", pa.string()),    # exact | near_dup | substring
 ])
 
 CLUSTERS = pa.schema([

@@ -72,7 +72,10 @@ def label_error_scores(verified: ray.data.Dataset, sigs: ray.data.Dataset,
         .groupby("id").aggregate(Min("d_same", alias_name="min_same"),
                                  Min("d_diff", alias_name="min_diff"))
     out = hash_join(langs, per_id, on="id", right_on="id",
-                    num_partitions=npart, join_type="left_outer")
+                    num_partitions=npart, join_type="left_outer",
+                    right_schema=pa.schema([("id", pa.int64()),
+                                            ("min_same", pa.float64()),
+                                            ("min_diff", pa.float64())]))
 
     def score(t: pa.Table) -> pa.Table:
         ms = pc.fill_null(t.column("min_same"), pa.scalar(np.nan)) \

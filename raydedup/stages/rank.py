@@ -58,10 +58,19 @@ def duplicity(verified: ray.data.Dataset, clusters: ray.data.Dataset,
     )
     sizes = clusters.groupby("cluster_id").aggregate(
         Count(alias_name="cluster_size"))
+    clusters_schema = pa.schema([("id", pa.int64()),
+                                 ("cluster_id", pa.int64())])
+    per_id_schema = pa.schema([("id", pa.int64()),
+                               ("duplicity_score", pa.float64()),
+                               ("max_sim", pa.float64())])
     out = hash_join(clusters, per_id, on="id", right_on="id",
-                    num_partitions=npart, join_type="left_outer")
+                    num_partitions=npart, join_type="left_outer",
+                    left_schema=clusters_schema, right_schema=per_id_schema)
+    joined_schema = pa.schema(list(clusters_schema) + list(per_id_schema)[1:])
     out = hash_join(out, sizes, on="cluster_id", right_on="cluster_id",
-                    num_partitions=npart)
+                    num_partitions=npart, left_schema=joined_schema,
+                    right_schema=pa.schema([("cluster_id", pa.int64()),
+                                            ("cluster_size", pa.int64())]))
 
     def finish(t: pa.Table) -> pa.Table:
         dup = pc.fill_null(t.column("duplicity_score"), pa.scalar(0.0))

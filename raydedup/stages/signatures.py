@@ -22,10 +22,14 @@ from raydedup.util import pack_u64_2d, pack_u64_ragged
 
 
 class SignatureActor:
-    """Actor-pool callable: (ingested batch) -> signature rows."""
+    """Actor-pool callable: (ingested batch) -> signature rows.
 
-    def __init__(self, cfg: EngineConfig):
+    with_simhash=False by default: the SimHash bit-vote is ~60% of the warm
+    per-batch cost and only the simhash_pairs pipeline consumes it."""
+
+    def __init__(self, cfg: EngineConfig, with_simhash: bool = False):
         self.cfg = cfg
+        self.with_simhash = with_simhash
         # stateful setup, once per actor (not per batch)
         self.perm = K.perm_seeds(cfg.minhash.num_perm, cfg.minhash.seed)
 
@@ -35,7 +39,8 @@ class SignatureActor:
         flat, offs = K.tokenize_hash_batch(texts, lowercase=cfg.shingle.lowercase)
         sh, so = K.shingle_hashes(flat, offs, cfg.shingle.k)
         sig = K.minhash_signatures(sh, so, self.perm)
-        sim = K.simhash64(sh, so)
+        sim = K.simhash64(sh, so) if self.with_simhash else \
+            np.zeros(len(so) - 1, dtype=np.uint64)
 
         # unique shingle set per doc (for exact-Jaccard verification)
         uniq_parts = []
@@ -60,17 +65,38 @@ class SignatureActor:
         })
 
 
-def compute_signatures(ingested: ray.data.Dataset, cfg: EngineConfig
-                       ) -> ray.data.Dataset:
-    """Stateful actor-pool map_batches over Arrow batches."""
-    # autoscaling pool (min 1): a fixed pool equal to the CPU count starves
-    # the upstream read stage of CPUs and deadlocks the streaming executor.
+_TASK_STATE: dict = {}
+
+
+def _signature_task(cfg: EngineConfig, with_simhash: bool):
+    """Stateless-task variant: the per-worker state (permutation seeds +
+    token-hash cache) is tiny, so plain tasks beat an actor pool — no pool
+    spin-up/ramp, elastic scheduling. State is memoized per worker process
+    in a module global (same amortization an actor would give)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = (cfg.minhash.num_perm, cfg.minhash.seed, with_simhash)
+        actor = _TASK_STATE.get(key)
+        if actor is None:
+            actor = SignatureActor(cfg, with_simhash)
+            _TASK_STATE[key] = actor
+        return actor(batch)
+
+    return fn
+
+
+def compute_signatures(ingested: ray.data.Dataset, cfg: EngineConfig,
+                       with_simhash: bool = False) -> ray.data.Dataset:
+    """Signature stage as stateless map_batches tasks over Arrow batches.
+
+    An actor pool here costs pool spin-up + ramp for state that is only a
+    128-entry seed table; tasks amortize that state per worker process via a
+    module-global cache instead. (A true model-loading stage WOULD use an
+    actor pool — see multimodal.decode_features.)"""
     return ingested.map_batches(
-        SignatureActor,
-        fn_constructor_args=(cfg,),
+        _signature_task(cfg, with_simhash),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
-        concurrency=(1, cfg.sig_concurrency),
         num_cpus=1,
         zero_copy_batch=True,
     )

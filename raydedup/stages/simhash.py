@@ -15,7 +15,7 @@ from ray.data.aggregate import Count
 
 from raydedup import kernels as K
 from raydedup.config import EngineConfig
-from raydedup.stages.candidates import emit_pairs
+from raydedup.stages.candidates import dedupe_pairs, grouped_pairs
 from raydedup.util import hash_join
 
 N_BANDS = 4
@@ -50,16 +50,9 @@ def simhash_pairs(sigs: ray.data.Dataset, cfg: EngineConfig,
     rows = sigs.select_columns(["id", "simhash", "n_shingles"]) \
         .map_batches(_explode_simhash_bands, batch_format="pyarrow")
     cap = cfg.lsh.max_group_pairs
-
-    def emit(t: pa.Table) -> pa.Table:
-        ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
-        a, b = emit_pairs(ids, cap)
-        return pa.table({"id_a": pa.array(a, pa.int64()),
-                         "id_b": pa.array(b, pa.int64())})
-
-    pairs = rows.groupby("gkey").map_groups(emit, batch_format="pyarrow")
-    deduped = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_n")) \
-        .select_columns(["id_a", "id_b"]).materialize()
+    pairs = grouped_pairs(rows.select_columns(["gkey", "id"]), "gkey", cap,
+                          cfg.join_num_partitions)
+    deduped = dedupe_pairs(pairs).materialize()
     if deduped.count() == 0:
         return ray.data.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()),

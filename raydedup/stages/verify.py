@@ -31,21 +31,22 @@ def _score_batch(cfg: EngineConfig):
     band = cfg.verify.exact_band
     use_exact = cfg.verify.use_exact
 
+    cthr = cfg.verify.containment_threshold
+
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return pa.table({"id_a": pa.array([], pa.uint64()),
-                             "id_b": pa.array([], pa.uint64()),
-                             "est_jaccard": pa.array([], pa.float64()),
-                             "jaccard": pa.array([], pa.float64()),
-                             "distance": pa.array([], pa.float64())})
+            return pa.schema(VERIFIED_FIELDS).empty_table()
         sig_a = unpack_u64_2d(batch.column("minhash_a"), P)
         sig_b = unpack_u64_2d(batch.column("minhash_b"), P)
         est = (sig_a == sig_b).mean(axis=1)
         jac = est.copy()
+        cont = est.copy()
         if use_exact:
-            # exact set intersection only in/above the prefilter band
-            need = est >= (thr - band)
+            # exact set math near/above threshold and wherever a
+            # high-containment substring match is possible (see
+            # _broadcast_verify.score for the bound)
+            need = est >= min(thr - band, 0.2)
             if need.any():
                 sh_a = unpack_u64_rows(batch.column("shingles_a"))
                 sh_b = unpack_u64_rows(batch.column("shingles_b"))
@@ -53,41 +54,152 @@ def _score_batch(cfg: EngineConfig):
                     a, b = sh_a[i], sh_b[i]
                     if len(a) == 0 and len(b) == 0:
                         jac[i] = 1.0
+                        cont[i] = 1.0
                         continue
                     inter = len(np.intersect1d(a, b, assume_unique=True))
                     jac[i] = inter / (len(a) + len(b) - inter)
+                    m = min(len(a), len(b))
+                    cont[i] = inter / m if m else 0.0
         dist = np.clip(1.0 - jac, 0.0, 1.0)
+        is_dup = jac >= thr
+        is_sub = (~is_dup) & (cthr > 0) & (cont >= cthr)
+        kind = np.where(is_dup, "near_dup", np.where(is_sub, "substring", ""))
         out = pa.table({
             "id_a": batch.column("id_a"),
             "id_b": batch.column("id_b"),
             "est_jaccard": pa.array(est, pa.float64()),
             "jaccard": pa.array(jac, pa.float64()),
+            "containment": pa.array(cont, pa.float64()),
             "distance": pa.array(dist, pa.float64()),
+            "match_kind": pa.array(kind.tolist(), pa.string()),
         })
-        return out.filter(pc.greater_equal(out.column("jaccard"), pa.scalar(thr)))
+        return out.filter(pa.array(is_dup | is_sub))
 
     return fn
 
 
+VERIFIED_FIELDS = [
+    ("id_a", pa.int64()), ("id_b", pa.int64()),
+    ("est_jaccard", pa.float64()), ("jaccard", pa.float64()),
+    ("containment", pa.float64()), ("distance", pa.float64()),
+    ("match_kind", pa.string()),
+]
+
+
 def empty_verified() -> ray.data.Dataset:
-    return ray.data.from_arrow(pa.table({
-        "id_a": pa.array([], pa.int64()),
-        "id_b": pa.array([], pa.int64()),
-        "est_jaccard": pa.array([], pa.float64()),
-        "jaccard": pa.array([], pa.float64()),
-        "distance": pa.array([], pa.float64()),
-    }))
+    return ray.data.from_arrow(pa.schema(VERIFIED_FIELDS).empty_table())
+
+
+def _collect_ids(ds: ray.data.Dataset, col: str) -> np.ndarray:
+    arrs = [b.column(col).to_numpy(zero_copy_only=False)
+            for b in ds.select_columns([col])
+            .iter_batches(batch_format="pyarrow", batch_size=1 << 22)
+            if b.num_rows]
+    return np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+
+
+def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
+                      cfg: EngineConfig) -> ray.data.Dataset:
+    """Join-free verification: the signature subset touched by candidates is
+    collected once, broadcast via ray.put, and looked up per pair batch with
+    searchsorted. Kills two hash-join shuffles whose aggregator-actor spin-up
+    dominates wall time when the candidate set is small (the common case:
+    candidates << corpus)."""
+    import ray
+
+    cand_ids = np.unique(np.concatenate([
+        _collect_ids(pairs, "id_a"), _collect_ids(pairs, "id_b")]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(cand_ids, ids), 0, len(cand_ids) - 1)
+        return t.filter(pa.array(cand_ids[pos] == ids))
+
+    sub_batches = list(
+        sigs.select_columns(["id", "minhash", "shingles"])
+        .map_batches(keep, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    sub_batches = [b for b in sub_batches if b.num_rows]
+    if not sub_batches:
+        return empty_verified()
+    sub = pa.concat_tables(sub_batches, promote_options="default")
+    ids = sub.column("id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    ids = ids[order]
+    from raydedup.util import unpack_u64_2d, unpack_u64_rows
+    mh = unpack_u64_2d(sub.column("minhash"), cfg.minhash.num_perm)[order]
+    sh_rows = unpack_u64_rows(sub.column("shingles"))
+    sh_rows = [sh_rows[i] for i in order]
+    sh_offsets = np.zeros(len(sh_rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in sh_rows], out=sh_offsets[1:])
+    sh_flat = np.concatenate(sh_rows) if sh_rows else np.empty(0, np.uint64)
+    ref = ray.put((ids, mh, sh_flat, sh_offsets))
+
+    thr = cfg.verify.threshold
+    band = cfg.verify.exact_band
+    use_exact = cfg.verify.use_exact
+
+    cthr = cfg.verify.containment_threshold
+
+    def score(t: pa.Table) -> pa.Table:
+        bids, bmh, bflat, boffs = ray.get(ref)
+        ia = np.searchsorted(bids, t.column("id_a").to_numpy(zero_copy_only=False))
+        ib = np.searchsorted(bids, t.column("id_b").to_numpy(zero_copy_only=False))
+        est = (bmh[ia] == bmh[ib]).mean(axis=1)
+        jac = est.copy()
+        cont = est.copy()
+        if use_exact:
+            # exact set math where est J is near/above threshold OR where a
+            # high-containment substring match is still possible: a contained
+            # set of size m in a set of size M has J = m/M, so est J alone
+            # bounds containment candidates from below by thr_c * m/M; cheap
+            # blanket rule: always exact-check pairs with est >= small floor.
+            need = est >= min(thr - band, 0.2)
+            for i in np.nonzero(need)[0]:
+                a = bflat[boffs[ia[i]]:boffs[ia[i] + 1]]
+                b = bflat[boffs[ib[i]]:boffs[ib[i] + 1]]
+                if len(a) == 0 and len(b) == 0:
+                    jac[i] = 1.0
+                    cont[i] = 1.0
+                    continue
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                jac[i] = inter / (len(a) + len(b) - inter)
+                m = min(len(a), len(b))
+                cont[i] = inter / m if m else 0.0
+        dist = np.clip(1.0 - jac, 0.0, 1.0)
+        is_dup = jac >= thr
+        is_sub = (~is_dup) & (cthr > 0) & (cont >= cthr)
+        kind = np.where(is_dup, "near_dup", np.where(is_sub, "substring", ""))
+        keep = is_dup | is_sub
+        out = pa.table({
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "est_jaccard": pa.array(est, pa.float64()),
+            "jaccard": pa.array(jac, pa.float64()),
+            "containment": pa.array(cont, pa.float64()),
+            "distance": pa.array(dist, pa.float64()),
+            "match_kind": pa.array(kind.tolist(), pa.string()),
+        })
+        return out.filter(pa.array(keep))
+
+    return pairs.map_batches(score, batch_format="pyarrow")
 
 
 def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                  cfg: EngineConfig) -> ray.data.Dataset:
     """Candidate pairs + signatures -> verified pair Dataset
-    (id_a, id_b, est_jaccard, jaccard, distance), jaccard >= threshold."""
+    (id_a, id_b, est_jaccard, jaccard, distance), jaccard >= threshold.
+
+    Small candidate sets (<= cfg.broadcast_id_limit ids) take the broadcast
+    path (no shuffle); larger sets fall back to two hash-partitioned joins."""
     pairs = pairs.materialize()
-    if pairs.count() == 0:
+    n = pairs.count()
+    if n == 0:
         # empty groupby outputs lose their schema in Ray Data and break the
         # downstream hash join — short-circuit with a typed empty Dataset
         return empty_verified()
+    if 2 * n <= cfg.broadcast_id_limit:
+        return _broadcast_verify(pairs, sigs, cfg)
     proj = sigs.select_columns(["id", "minhash", "shingles"])
     j1 = hash_join(pairs, proj, on="id_a", right_on="id",
                    num_partitions=cfg.join_num_partitions)

@@ -45,6 +45,24 @@ def unpack_u64_rows(col) -> list[np.ndarray]:
             np.empty(0, np.uint64) for b in col.to_pylist()]
 
 
+def collect_up_to(ds, cap_rows: int):
+    """Collect a Dataset to one pyarrow Table iff it has <= cap_rows rows;
+    returns None once the cap is exceeded (caller falls back to the
+    distributed path). Streaming: never holds more than cap_rows + one batch."""
+    batches = []
+    total = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        if b.num_rows == 0 or b.num_columns == 0:
+            continue
+        total += b.num_rows
+        if total > cap_rows:
+            return None
+        batches.append(b)
+    if not batches:
+        return pa.table({})
+    return pa.concat_tables(batches, promote_options="default")
+
+
 def effective_partitions(requested: int) -> int:
     """Clamp shuffle fan-out to the cluster CPU count: Ray's hash-shuffle join
     spawns `num_partitions` aggregator actors, and a partition count above the
@@ -57,17 +75,68 @@ def effective_partitions(requested: int) -> int:
     return max(2, min(requested, cpus))
 
 
+_SENTINEL_STR = "\x00__raydedup_join_sentinel__"
+_SENTINEL_INT = np.iinfo(np.int64).min
+
+
+def _sentinel_row(schema, key: str):
+    """One-row table: sentinel value in the key column, nulls elsewhere.
+    `schema` is a ray.data Schema or pyarrow.Schema."""
+    base = getattr(schema, "base_schema", schema)
+    if not isinstance(base, pa.Schema):
+        base = pa.schema(list(zip(schema.names, schema.types)))
+    cols = {}
+    key_type = None
+    for f in base:
+        if f.name == key:
+            key_type = f.type
+            if pa.types.is_integer(f.type):
+                cols[f.name] = pa.array([_SENTINEL_INT], f.type)
+            else:
+                cols[f.name] = pa.array([_SENTINEL_STR], f.type)
+        else:
+            cols[f.name] = pa.array([None], f.type)
+    if key_type is None:
+        raise KeyError(f"join key {key} not in schema {schema.names}")
+    return pa.table(cols), key_type
+
+
 def hash_join(left, right, on: str, right_on: str, num_partitions: int,
               join_type: str = "inner", left_suffix: str = "",
-              right_suffix: str = "_r"):
+              right_suffix: str = "_r", left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
     """Hash-partitioned Dataset join (Ray >= 2.46 Dataset.join).
 
-    At cluster scale this is the explicit partitioned hash join SURVEY §4 calls
-    for; num_partitions controls the shuffle fan-out.
+    At cluster scale this is the explicit partitioned hash join SURVEY §4
+    calls for; num_partitions controls the shuffle fan-out (clamped to the
+    CPU count — see effective_partitions).
+
+    Robustness: Ray's join aggregator builds a ZERO-COLUMN table for any
+    partition whose input sequence contributed no schema-bearing shard (e.g.
+    an input that produced no blocks), and pyarrow then fails with "No match
+    ... for key field". Each side is therefore padded with one sentinel row
+    (guaranteeing at least one shuffle task per side, whose first task
+    broadcasts the schema to every partition); sentinel rows are filtered
+    from the join output by key value.
     """
+    import ray.data
+
     num_partitions = effective_partitions(num_partitions)
-    return left.join(
-        right,
+    # Schema hints take precedence: ds.schema() on a lazy aggregate EXECUTES
+    # it just for inference (and returns None for lazily-empty datasets), so
+    # callers that know their schemas pass them explicitly.
+    lsch = left_schema or left.schema()
+    rsch = right_schema or right.schema()
+    if lsch is None or rsch is None:
+        raise ValueError(
+            f"hash_join({on}/{right_on}): side with unknown (empty) schema "
+            "and no schema hint — pass left_schema/right_schema")
+    ls, _ = _sentinel_row(lsch, on)
+    rs, key_type = _sentinel_row(rsch, right_on)
+    left_p = ray.data.from_arrow(ls).union(left)
+    right_p = ray.data.from_arrow(rs).union(right)
+    joined = left_p.join(
+        right_p,
         join_type=join_type,
         num_partitions=num_partitions,
         on=(on,),
@@ -75,3 +144,15 @@ def hash_join(left, right, on: str, right_on: str, num_partitions: int,
         left_suffix=left_suffix,
         right_suffix=right_suffix,
     )
+    if pa.types.is_integer(key_type):
+        sent = pa.scalar(_SENTINEL_INT, key_type)
+    else:
+        sent = pa.scalar(_SENTINEL_STR, key_type)
+
+    def drop_sentinels(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if on not in t.column_names:
+            return t
+        return t.filter(pc.not_equal(t.column(on), sent))
+
+    return joined.map_batches(drop_sentinels, batch_format="pyarrow")

@@ -20,7 +20,8 @@ def test_simhash_finds_exact_and_near_dups(tiny_corpus):
     from raydedup.stages.simhash import simhash_pairs
     code, truth = tiny_corpus
     cfg = EngineConfig()
-    sigs = compute_signatures(ingest(rd.from_arrow(code)), cfg).materialize()
+    sigs = compute_signatures(ingest(rd.from_arrow(code)), cfg,
+                              with_simhash=True).materialize()
     pairs = simhash_pairs(sigs, cfg).to_pandas()
     assert len(pairs) > 0
     assert (pairs.hamming <= 3).all()

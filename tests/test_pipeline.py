@@ -124,6 +124,23 @@ def test_far_outliers_have_no_neighbors(tiny_result):
     assert (sub.cluster_size == 1).all()
 
 
+def test_substring_copy_detected(tiny_result):
+    """Planted substring_copy pairs (file A verbatim inside larger file B)
+    are kept by the containment pass (north_star 'suffix-array substring
+    pass' analog) even though their Jaccard is below threshold."""
+    res, truth = tiny_result
+    tdf = _ids_for(truth)
+    sub = tdf[tdf.defect_kind == "substring_copy"]
+    vp = res.verified_pairs.to_pandas()
+    pair_set = set(zip(vp.id_a, vp.id_b))
+    for gid, grp in sub.groupby("group_id"):
+        ids = sorted(grp.id)
+        assert (ids[0], ids[1]) in pair_set, f"substring group {gid} missed"
+        row = vp[(vp.id_a == ids[0]) & (vp.id_b == ids[1])].iloc[0]
+        assert row.match_kind in ("substring", "near_dup")
+        assert row.containment >= 0.9
+
+
 def test_boilerplate_no_false_dups(tiny_result, tiny_corpus):
     res, truth = tiny_result
     tdf = _ids_for(truth)
