@@ -162,6 +162,27 @@ def _q_label_error_candidates(sf_dir: str):
     return res.label_errors
 
 
+def _q_tumbling_window(sf_dir: str):
+    from raydedup.stages.windows import tumbling_window
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    return tumbling_window(ev, width_s=3600)
+
+
+def _q_session_windows(sf_dir: str):
+    from raydedup.stages.windows import session_windows
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+    return session_windows(ev, gap_s=1800)
+
+
+def _q_substring_pairs(sf_dir: str):
+    from raydedup.pipeline import run_pipeline
+    res = run_pipeline(_docs_as_code(sf_dir))
+    sub = res.verified_pairs.filter(expr="match_kind == 'substring'")
+    return _collect(sub, _PAIR_SCHEMA)
+
+
 def _q_embedding_near_dup_pairs(sf_dir: str):
     from raydedup.stages.embedding import cosine_pairs, load_embeddings
     return cosine_pairs(load_embeddings(f"{sf_dir}/embeddings.parquet"),
@@ -206,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "embedding_knn": _q_embedding_knn,
         "embedding_pair_ranking": _q_embedding_pair_ranking,
+        "tumbling_window": _q_tumbling_window,
+        "session_windows": _q_session_windows,
+        "substring_pairs": _q_substring_pairs,
     }
 
 
@@ -279,6 +303,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             )
             SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        """,
+        "tumbling_window": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                       AS window_start_s,
+                   count(*) AS n_events,
+                   sum(value) AS sum_value,
+                   avg(value) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM d
+            )
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sess
         """,
         "embedding_pair_ranking": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -46,13 +46,45 @@ class DedupResult:
     label_errors: Optional[ray.data.Dataset] = None
     extra: dict = field(default_factory=dict)
 
-    def get_issues(self, issue_type: IssueType | str) -> ray.data.Dataset:
+    def get_issues(self, issue_type: IssueType | str,
+                   with_metadata: bool = False) -> ray.data.Dataset:
+        """Issue Dataset; with_metadata=True joins (repo, path, lang) per id —
+        the reference's DataFrame export (issue_manager.py:39-62), expressed
+        as a hash join of the (small) issue set against the metadata table."""
         t = IssueType.canonical(issue_type)
         if t == IssueType.NEAR_DUPLICATES:
-            return self.ranked_pairs
+            out = self.ranked_pairs
+            if with_metadata:
+                out = self._join_meta(out, "id_a", "_a")
+                out = self._join_meta(out, "id_b", "_b")
+                out = out.sort(["distance", "id_a", "id_b"])
+            return out
         if t == IssueType.OFF_TOPIC:
             from raydedup.stages.rank import off_topic_ranking
-            return off_topic_ranking(self.duplicity)
+            out = self.duplicity
+            if with_metadata:
+                out = self._join_meta(out, "id", "")
+            return off_topic_ranking(out)
         if t == IssueType.LABEL_ERRORS:
-            return self.label_errors
+            out = self.label_errors
+            if with_metadata and out is not None:
+                out = self._join_meta(out, "id", "").sort(["score", "id"])
+            return out
         raise KeyError(t)
+
+    def _join_meta(self, ds: ray.data.Dataset, id_col: str,
+                   suffix: str) -> ray.data.Dataset:
+        import pyarrow as pa
+
+        from raydedup.util import hash_join
+        meta = self.ingested.select_columns(["id", "repo", "path", "lang"])
+        if suffix:
+            meta = meta.rename_columns({"repo": f"repo{suffix}",
+                                        "path": f"path{suffix}",
+                                        "lang": f"lang{suffix}"})
+        meta_schema = pa.schema([("id", pa.int64()),
+                                 (f"repo{suffix}", pa.string()),
+                                 (f"path{suffix}", pa.string()),
+                                 (f"lang{suffix}", pa.string())])
+        return hash_join(ds, meta, on=id_col, right_on="id",
+                         num_partitions=8, right_schema=meta_schema)

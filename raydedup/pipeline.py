@@ -165,6 +165,29 @@ def run_pipeline(code_files: ray.data.Dataset,
     if IssueType.LABEL_ERRORS in issues:
         from raydedup.stages.labelerrors import label_error_scores
         result.label_errors = label_error_scores(verified, sigs, cfg)
+
+    # auto-cleaning (perform_auto_cleaning analog,
+    # selfclean/cleaner/auto_cleaning_mixin.py:37-89): attach auto_issue
+    # flags from fraction_cut over each issue's score column
+    if cfg.autoclean.enabled:
+        from raydedup.stages.autoclean import fraction_cut_dataset
+        n = sigs.count()
+        if result.ranked_pairs is not None:
+            result.ranked_pairs = fraction_cut_dataset(
+                result.ranked_pairs, "distance", n,
+                alpha=cfg.autoclean.cut_off, q=cfg.autoclean.significance,
+                ascending=True, pair_rule=True)
+        if result.duplicity is not None:
+            result.duplicity = fraction_cut_dataset(
+                result.duplicity, "off_topic_score", n,
+                alpha=cfg.autoclean.cut_off, q=cfg.autoclean.significance,
+                ascending=False)
+        if result.label_errors is not None:
+            result.label_errors = fraction_cut_dataset(
+                result.label_errors, "score", n,
+                alpha=cfg.autoclean.cut_off, q=cfg.autoclean.significance,
+                ascending=True)
+        _lap("autoclean")
     return result
 
 

@@ -57,14 +57,21 @@ def fraction_cut_scores(scores: np.ndarray, n_samples: int,
 
 
 def fraction_cut_cutoff(scores: np.ndarray, n_samples: int,
-                        alpha: float = 0.01, q: float = 0.05) -> float | None:
-    """The logit-space cut-off value, or None when undefined."""
+                        alpha: float = 0.01, q: float = 0.05,
+                        pair_rule: bool | None = None) -> float | None:
+    """The logit-space cut-off value, or None when undefined.
+
+    pair_rule: force the alpha-squared pair treatment. The reference detects
+    pair vectors by M == N(N-1)/2 (auto_cleaning_mixin.py:102-105); our pair
+    sets are sparse so M never equals the condensed size — callers scoring
+    pair vectors pass pair_rule=True explicitly. None keeps the reference's
+    length-based detection (used by the parity tests)."""
     M = len(scores)
     if M == 0:
         return None
     N = n_samples
     a = alpha
-    if M == N * (N - 1) // 2:      # pair-vector rule: alpha squared
+    if pair_rule or (pair_rule is None and M == N * (N - 1) // 2):
         a = alpha ** 2
     inside = (scores > 0.0) & (scores < 1.0)
     ls = _logit(scores[inside])
@@ -87,7 +94,8 @@ def fraction_cut_cutoff(scores: np.ndarray, n_samples: int,
 
 def fraction_cut_dataset(ds: ray.data.Dataset, score_col: str, n_samples: int,
                          alpha: float = 0.01, q: float = 0.05,
-                         ascending: bool = True) -> ray.data.Dataset:
+                         ascending: bool = True,
+                         pair_rule: bool | None = None) -> ray.data.Dataset:
     """Attach an `auto_issue` bool column to a scored Dataset.
 
     The score column is collected to the driver (bounded: one float per row of
@@ -101,7 +109,7 @@ def fraction_cut_dataset(ds: ray.data.Dataset, score_col: str, n_samples: int,
             batch_format="pyarrow", batch_size=1 << 20)] or
         [np.empty(0, np.float64)])
     s = col if ascending else 1.0 - col
-    cutoff = fraction_cut_cutoff(s, n_samples, alpha, q)
+    cutoff = fraction_cut_cutoff(s, n_samples, alpha, q, pair_rule=pair_rule)
     # cut-off maps back to score space via sigmoid (logit is monotone), so the
     # tag is order-independent of block iteration order.
     s_cut = -np.inf if cutoff is None else 1.0 / (1.0 + np.exp(-cutoff))

@@ -76,19 +76,28 @@ def cosine_pairs(ds: ray.data.Dataset, threshold: float,
 
 
 def pair_ranking(ds: ray.data.Dataset, id_col: str = "vec_id",
-                 limit: int | None = None) -> ray.data.Dataset:
-    """Reference-parity ascending cosine-distance pair ranking.
+                 limit: int | None = None,
+                 metric: str = "cosine") -> ray.data.Dataset:
+    """Reference-parity ascending distance pair ranking.
 
-    distance = 1 - (sim+1)/2 (the reference's cosine->distance affine map,
-    selfclean_cleaner.py:142-144), clipped to [0,1] (:147-149); global
-    ascending sort with (id_a, id_b) tie-break replaces the condensed argsort
+    metric selects a registered distance kernel (raydedup.registry — the
+    no-eval replacement for the reference's pluggable distance function,
+    selfclean_cleaner.py:77-80): "cosine" = 1-(sim+1)/2 clipped
+    (selfclean_cleaner.py:142-149), "projective" = min(|x-y|,|x+y|)/sqrt(2)
+    (selfclean/distances/projective_distance.py:6-35). Global ascending sort
+    with (id_a, id_b) tie-break replaces the condensed argsort
     (embedding_distance_mixin.py:41-83).
     """
+    from raydedup.registry import get_distance
+    kernel = get_distance(metric)
     pairs = cosine_pairs(ds, threshold=-2.0, id_col=id_col)  # all pairs
 
     def to_dist(t: pa.Table) -> pa.Table:
         sim = t.column("cosine_sim").to_numpy(zero_copy_only=False)
-        dist = np.round(np.clip(1.0 - (sim + 1.0) / 2.0, 0.0, 1.0), 9)
+        # kernels operate on dot products of unit vectors: feed (n,1)x(1,1)
+        # identity trick — sim already IS the dot product
+        dot = np.clip(sim, -1.0, 1.0).reshape(-1, 1)
+        dist = np.round(kernel(dot, np.ones((1, 1))), 9).ravel()
         return pa.table({"id_a": t.column("id_a"), "id_b": t.column("id_b"),
                          "distance": pa.array(dist, pa.float64())})
 

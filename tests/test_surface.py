@@ -1,0 +1,94 @@
+"""Tests for the user-facing surfaces added on top of the core pipeline:
+distance registry, auto-clean wiring, metadata export, windows."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raydedup.config import AutoCleanConfig, EngineConfig
+from raydedup.issues import IssueType
+from raydedup.pipeline import run_pipeline
+from raydedup.registry import get_distance, register_distance
+
+
+def test_projective_distance_identifies_antipodes():
+    proj = get_distance("projective")
+    v = np.array([[1.0, 0.0]])
+    assert proj(v, -v)[0, 0] == pytest.approx(0.0)
+    assert proj(v, v)[0, 0] == pytest.approx(0.0)
+    w = np.array([[0.0, 1.0]])
+    assert proj(v, w)[0, 0] == pytest.approx(1.0)
+    cos = get_distance("cosine")
+    assert cos(v, -v)[0, 0] == pytest.approx(1.0)   # cosine does NOT identify
+
+
+def test_registry_plugging():
+    with pytest.raises(KeyError):
+        get_distance("nope")
+    register_distance("always_zero", lambda a, b: np.zeros((len(a), len(b))))
+    assert get_distance("always_zero")(np.ones((2, 3)),
+                                       np.ones((4, 3))).sum() == 0
+
+
+def test_autoclean_flags_and_ranking_invariance(tiny_corpus):
+    """auto_issue column appears when enabled; the underlying ranking is
+    unchanged by the cut-off setting (mirrors
+    tests/unittests/cleaner/test_auto_cleaning.py:60-90)."""
+    code, _ = tiny_corpus
+    cfg_on = EngineConfig(autoclean=AutoCleanConfig(enabled=True))
+    res_on = run_pipeline(rd.from_arrow(code), cfg_on,
+                          issues_to_detect=[IssueType.NEAR_DUPLICATES])
+    rp_on = res_on.ranked_pairs.to_pandas()
+    assert "auto_issue" in rp_on.columns
+    assert rp_on.auto_issue.dtype == bool
+
+    res_off = run_pipeline(rd.from_arrow(code),
+                           issues_to_detect=[IssueType.NEAR_DUPLICATES])
+    rp_off = res_off.ranked_pairs.to_pandas()
+    a = rp_on[["id_a", "id_b", "distance"]].reset_index(drop=True)
+    b = rp_off[["id_a", "id_b", "distance"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_metadata_export(tiny_result, tiny_corpus):
+    """get_issues(with_metadata=True) = the reference's DataFrame export with
+    path columns joined per pair side (issue_manager.py:39-62)."""
+    res, truth = tiny_result
+    code, _ = tiny_corpus
+    out = res.get_issues(IssueType.NEAR_DUPLICATES,
+                         with_metadata=True).to_pandas()
+    assert {"repo_a", "path_a", "repo_b", "path_b"} <= set(out.columns)
+    assert len(out) == res.verified_pairs.count()
+    # spot-check one id -> path mapping against the corpus
+    import raydedup.kernels as K
+    df = code.to_pandas()
+    df["id"] = K.row_ids(df.repo.tolist(), df.path.tolist(),
+                         df.commit.tolist())
+    lookup = dict(zip(df.id, df.path))
+    row = out.iloc[0]
+    assert lookup[row.id_a] == row.path_a
+    assert lookup[row.id_b] == row.path_b
+
+
+def test_session_windows_simple():
+    import pyarrow as pa
+
+    from raydedup.stages.windows import session_windows
+    base = 1_700_000_000
+    rows = []
+    for uid, offs in [(1, [0, 10, 20, 5000, 5010]), (2, [0])]:
+        for o in offs:
+            rows.append({"user_id": uid,
+                         "ts": (base + o) * 1_000_000})
+    t = pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+    })
+    out = session_windows(rd.from_arrow(t), gap_s=1800).to_pandas() \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    assert len(out) == 3
+    u1 = out[out.user_id == 1]
+    assert u1.n_events.tolist() == [3, 2]
+    assert u1.session_start.tolist() == [base, base + 5000]
+    assert u1.session_end.tolist() == [base + 20, base + 5010]
