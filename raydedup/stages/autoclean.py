@@ -92,6 +92,35 @@ def fraction_cut_cutoff(scores: np.ndarray, n_samples: int,
     return _logistic_ppf(prob, loc, scale)
 
 
+def threshold_sensitivity(scores: np.ndarray, n_samples: int,
+                          q: float = 0.05,
+                          pair_rule: bool | None = None) -> list[dict]:
+    """Sensitivity sweep: rerun fraction_cut over 17 log-spaced contamination
+    guesses alpha = 2^-10 .. 2^-2 (reference: auto_cleaning_mixin.py:156-217,
+    thresholds = 2 ** np.linspace(-10, -2, 17)); returns one record per alpha
+    with the number of flagged scores. Driver-side scalar math on a cached
+    score vector — cheap by construction (SURVEY §2.5)."""
+    alphas = 2 ** np.linspace(-10, -2, 17)
+    out = []
+    for a in alphas:
+        idx = fraction_cut_scores(scores, n_samples, alpha=float(a), q=q) \
+            if pair_rule is None else np.nonzero(_flags_with_rule(
+                scores, n_samples, float(a), q, pair_rule))[0]
+        out.append({"alpha": float(a), "n_flagged": int(len(idx))})
+    return out
+
+
+def _flags_with_rule(scores, n_samples, alpha, q, pair_rule):
+    cutoff = fraction_cut_cutoff(scores, n_samples, alpha, q,
+                                 pair_rule=pair_rule)
+    flags = np.zeros(len(scores), dtype=bool)
+    if cutoff is None:
+        return flags
+    inside = (scores > 0.0) & (scores < 1.0)
+    flags[inside] = _logit(scores[inside]) < cutoff
+    return flags
+
+
 def fraction_cut_dataset(ds: ray.data.Dataset, score_col: str, n_samples: int,
                          alpha: float = 0.01, q: float = 0.05,
                          ascending: bool = True,

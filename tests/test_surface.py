@@ -71,6 +71,50 @@ def test_metadata_export(tiny_result, tiny_corpus):
     assert lookup[row.id_b] == row.path_b
 
 
+def test_threshold_sensitivity_monotone():
+    """More permissive alpha never flags fewer scores (sweep parity with
+    auto_cleaning_mixin.py:156-217's 17 log-spaced thresholds)."""
+    from raydedup.stages.autoclean import threshold_sensitivity
+    rng = np.random.default_rng(3)
+    scores = 1 / (1 + np.exp(-np.concatenate([
+        rng.normal(1.0, 1.0, 900), rng.normal(-7.0, 0.5, 100)])))
+    sweep = threshold_sensitivity(scores, 1000)
+    assert len(sweep) == 17
+    flagged = [s["n_flagged"] for s in sweep]
+    assert flagged == sorted(flagged)
+    assert flagged[-1] > 0
+
+
+def test_ivf_knn_recalls_bruteforce():
+    """IVF with full probing == brute force; partial probing recalls most of
+    the true top-k (approximate by design)."""
+    from raydedup.stages.embedding import ivf_knn_search, knn_search
+    import pyarrow as pa
+    rng = np.random.default_rng(8)
+    n, d, k, q = 300, 16, 5, 4
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in mat],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    exact = knn_search(ds, mat[:q], ids[:q], k=k).to_pandas()
+    full = ivf_knn_search(ds, mat[:q], ids[:q], k=k,
+                          n_cells=16, n_probe=16).to_pandas()
+    for qi in ids[:q]:
+        e = exact[exact.query_id == qi].sort_values("rank").neighbor_id.tolist()
+        f = full[full.query_id == qi].sort_values("rank").neighbor_id.tolist()
+        assert e == f, f"full-probe IVF must equal brute force (query {qi})"
+    approx = ivf_knn_search(ds, mat[:q], ids[:q], k=k,
+                            n_cells=16, n_probe=6).to_pandas()
+    hits = 0
+    for qi in ids[:q]:
+        e = set(exact[exact.query_id == qi].neighbor_id)
+        a = set(approx[approx.query_id == qi].neighbor_id)
+        hits += len(e & a)
+    assert hits / (q * k) >= 0.5       # partial probe: approximate recall
+
+
 def test_session_windows_simple():
     import pyarrow as pa
 
