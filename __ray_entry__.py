@@ -162,6 +162,31 @@ def _q_label_error_candidates(sf_dir: str):
     return res.label_errors
 
 
+def _q_near_dup_pairs_exact(sf_dir: str):
+    """The core near-dup pipeline with an EXACT SQL oracle: pairs at true
+    shingle-Jaccard >= 0.7 (oracle recomputes 5-gram token shingles in
+    DuckDB). This is the end-to-end correctness check of
+    shingle->MinHash->LSH->verify, not a rows-only smoke."""
+    import pyarrow.compute as pc
+
+    from raydedup.pipeline import run_pipeline
+    res = run_pipeline(_docs_as_code(sf_dir))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("match_kind"), pa.scalar("substring"))
+        t = t.filter(keep)
+        return pa.table({
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "jaccard": pc.round(t.column("jaccard"), ndigits=6),
+        })
+
+    out = res.verified_pairs.map_batches(fmt, batch_format="pyarrow")
+    return _collect(out, pa.schema([("id_a", pa.int64()),
+                                    ("id_b", pa.int64()),
+                                    ("jaccard", pa.float64())]))
+
+
 def _q_tumbling_window(sf_dir: str):
     from raydedup.stages.windows import tumbling_window
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -227,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "embedding_knn": _q_embedding_knn,
         "embedding_pair_ranking": _q_embedding_pair_ranking,
+        "near_dup_pairs_exact": _q_near_dup_pairs_exact,
         "tumbling_window": _q_tumbling_window,
         "session_windows": _q_session_windows,
         "substring_pairs": _q_substring_pairs,
@@ -303,6 +329,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             )
             SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        """,
+        "near_dup_pairs_exact": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, CASE WHEN len(t) >= 5
+                THEN list_distinct(list_transform(range(1, len(t) - 3),
+                     i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2]
+                          || chr(1) || t[i+3] || chr(1) || t[i+4]))
+                ELSE list_distinct([list_aggregate(t, 'string_agg', chr(1))])
+                END AS s
+              FROM toks WHERE len(t) > 0
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS shingle FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM ex a JOIN ex b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+            SELECT i.id_a, i.id_b,
+                   round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6)
+                       AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.7
         """,
         "tumbling_window": """
             SELECT event_type,

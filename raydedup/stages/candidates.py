@@ -314,9 +314,15 @@ def dedupe_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
         a = tbl.column("id_a").to_numpy(zero_copy_only=False)
         b = tbl.column("id_b").to_numpy(zero_copy_only=False)
         uniq = np.unique(np.stack([a, b], axis=1), axis=0)
-        return ray.data.from_arrow(pa.table({
-            "id_a": pa.array(uniq[:, 0], pa.int64()),
-            "id_b": pa.array(uniq[:, 1], pa.int64())}))
+        # split into many blocks: a single from_arrow block would make every
+        # downstream map_batches (the verify stage!) a single serial task
+        out = pa.table({"id_a": pa.array(uniq[:, 0], pa.int64()),
+                        "id_b": pa.array(uniq[:, 1], pa.int64())})
+        n_chunks = max(1, min(64, out.num_rows // 2000))
+        step = (out.num_rows + n_chunks - 1) // n_chunks
+        chunks = [out.slice(i * step, step) for i in range(n_chunks)
+                  if out.slice(i * step, step).num_rows]
+        return ray.data.from_arrow(chunks)
     return pairs.groupby(["id_a", "id_b"]) \
         .aggregate(Count(alias_name="_n")).select_columns(["id_a", "id_b"])
 
@@ -329,7 +335,7 @@ def candidate_pairs(sigs: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Datas
     if cfg.lsh.salt_buckets > 1:
         rows = rows.materialize()   # consumed by round 1 and round 2
     pairs = grouped_pairs(rows.select_columns(["gkey", "id"]), "gkey", cap,
-                          npart)
+                          npart, mode="all")
     if cfg.lsh.salt_buckets > 1:
         # round 2: per-(band,salt) representatives meet on the raw band key
         reps = rows.groupby("gkey").aggregate(

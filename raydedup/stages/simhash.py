@@ -51,7 +51,7 @@ def simhash_pairs(sigs: ray.data.Dataset, cfg: EngineConfig,
         .map_batches(_explode_simhash_bands, batch_format="pyarrow")
     cap = cfg.lsh.max_group_pairs
     pairs = grouped_pairs(rows.select_columns(["gkey", "id"]), "gkey", cap,
-                          cfg.join_num_partitions)
+                          cfg.join_num_partitions, mode="all")
     deduped = dedupe_pairs(pairs).materialize()
     if deduped.count() == 0:
         return ray.data.from_arrow(pa.table({

@@ -123,17 +123,15 @@ def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     if not sub_batches:
         return empty_verified()
     sub = pa.concat_tables(sub_batches, promote_options="default")
-    ids = sub.column("id").to_numpy(zero_copy_only=False)
-    order = np.argsort(ids)
-    ids = ids[order]
-    from raydedup.util import unpack_u64_2d, unpack_u64_rows
-    mh = unpack_u64_2d(sub.column("minhash"), cfg.minhash.num_perm)[order]
-    sh_rows = unpack_u64_rows(sub.column("shingles"))
-    sh_rows = [sh_rows[i] for i in order]
-    sh_offsets = np.zeros(len(sh_rows) + 1, dtype=np.int64)
-    np.cumsum([len(r) for r in sh_rows], out=sh_offsets[1:])
-    sh_flat = np.concatenate(sh_rows) if sh_rows else np.empty(0, np.uint64)
-    ref = ray.put((ids, mh, sh_flat, sh_offsets))
+    ids_orig = sub.column("id").to_numpy(zero_copy_only=False)
+    # permutation indirection instead of physically reordering the payloads:
+    # row for id x = perm[searchsorted(sorted_ids, x)]
+    perm = np.argsort(ids_orig)
+    sorted_ids = ids_orig[perm]
+    from raydedup.util import unpack_u64_2d, unpack_u64_flat
+    mh = unpack_u64_2d(sub.column("minhash"), cfg.minhash.num_perm)
+    sh_flat, sh_offsets = unpack_u64_flat(sub.column("shingles"))
+    ref = ray.put((sorted_ids, perm, mh, sh_flat, sh_offsets))
 
     thr = cfg.verify.threshold
     band = cfg.verify.exact_band
@@ -142,9 +140,11 @@ def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     cthr = cfg.verify.containment_threshold
 
     def score(t: pa.Table) -> pa.Table:
-        bids, bmh, bflat, boffs = ray.get(ref)
-        ia = np.searchsorted(bids, t.column("id_a").to_numpy(zero_copy_only=False))
-        ib = np.searchsorted(bids, t.column("id_b").to_numpy(zero_copy_only=False))
+        bids, bperm, bmh, bflat, boffs = ray.get(ref)
+        ia = bperm[np.searchsorted(
+            bids, t.column("id_a").to_numpy(zero_copy_only=False))]
+        ib = bperm[np.searchsorted(
+            bids, t.column("id_b").to_numpy(zero_copy_only=False))]
         est = (bmh[ia] == bmh[ib]).mean(axis=1)
         jac = est.copy()
         cont = est.copy()

@@ -19,14 +19,49 @@ def pack_u64_2d(values_2d: np.ndarray) -> pa.Array:
                     pa.binary())
 
 
+def _binary_parts(col) -> tuple[np.ndarray, np.ndarray]:
+    """(Large)Binary column -> (byte_offsets int64[n+1], data uint8[...]),
+    straight from the Arrow buffers (no per-row Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    return offs, data
+
+
+def _view_u64(byts: np.ndarray) -> np.ndarray:
+    """uint8 slice -> uint64 view (copy fallback when unaligned)."""
+    try:
+        return byts.view("<u8")
+    except ValueError:
+        return np.frombuffer(byts.tobytes(), dtype="<u8")
+
+
 def unpack_u64_2d(col, width: int) -> np.ndarray:
-    """binary column of uniform w*8-byte rows -> (n, w) uint64 array."""
+    """binary column of uniform w*8-byte rows -> (n, w) uint64 array.
+    Zero-copy from the Arrow data buffer (binary values are contiguous)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if len(col) == 0:
         return np.empty((0, width), dtype=np.uint64)
-    buf = b"".join(col.to_pylist())
-    return np.frombuffer(buf, dtype="<u8").reshape(-1, width)
+    offs, data = _binary_parts(col)
+    return _view_u64(data[offs[0]:offs[-1]]).reshape(-1, width)
+
+
+def unpack_u64_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """binary column of uint64-packed rows -> (flat uint64 values,
+    element offsets int64[n+1]); row i = flat[eoffs[i]:eoffs[i+1]]."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    offs, data = _binary_parts(col)
+    flat = _view_u64(data[offs[0]:offs[-1]])
+    return flat, (offs - offs[0]) // 8
 
 
 def pack_u64_ragged(flat: np.ndarray, offsets: np.ndarray) -> pa.Array:
@@ -38,11 +73,9 @@ def pack_u64_ragged(flat: np.ndarray, offsets: np.ndarray) -> pa.Array:
 
 
 def unpack_u64_rows(col) -> list[np.ndarray]:
-    """binary column -> list of uint64 numpy arrays (one per row)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    return [np.frombuffer(b, dtype="<u8") if b is not None else
-            np.empty(0, np.uint64) for b in col.to_pylist()]
+    """binary column -> list of uint64 numpy views (one per row)."""
+    flat, eoffs = unpack_u64_flat(col)
+    return [flat[eoffs[i]:eoffs[i + 1]] for i in range(len(eoffs) - 1)]
 
 
 def collect_up_to(ds, cap_rows: int):
