@@ -25,6 +25,7 @@ import time
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "50000"))
 # scaling runs need compute to dominate the fixed orchestration floor
 SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "400000"))
+SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
 # N and 4N parallelism levels for the scaling criterion. 4/16 (not 8/32):
 # this host's parallel capacity saturates ~25 effective cores at 32 procs
 # (memory bandwidth), which alone caps an 8->32 ratio at ~0.8 before any
@@ -133,7 +134,19 @@ def run_scaling() -> dict:
     processes on the identical cached corpus."""
     ensure_corpus(SCALING_ROWS)   # generate once; both runs read it
 
+    def _await_ray_teardown(timeout_s: float = 30.0):
+        """A lingering raylet from the previous run contends with the next
+        ray.init and skews the measurement — wait for it to die."""
+        t0 = time.time()
+        while time.time() - t0 < timeout_s:
+            probe = subprocess.run(["pgrep", "-c", "raylet"],
+                                   capture_output=True, text=True)
+            if probe.stdout.strip() in ("", "0"):
+                return
+            time.sleep(1.0)
+
     def one(ncpu: int) -> dict:
+        _await_ray_teardown()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_RUN_ROWS=str(SCALING_ROWS))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -143,13 +156,21 @@ def run_scaling() -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo, hi = SCALE_LO, SCALE_HI
-    r_lo, r_hi = one(lo), one(hi)
+    # this host shows heavy run-to-run interference (shared machine); take
+    # the best of SCALING_REPEATS per level — the minimum is the least-
+    # perturbed measurement of the engine itself
+    runs_lo = [one(lo) for _ in range(SCALING_REPEATS)]
+    runs_hi = [one(hi) for _ in range(SCALING_REPEATS)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
+        "sec_lo_runs": [r["value"] for r in runs_lo],
+        "sec_hi_runs": [r["value"] for r in runs_hi],
         "files_per_s_lo": r_lo["files_per_s"],
         "files_per_s_hi": r_hi["files_per_s"],
         "scaling_efficiency": round(eff, 3),

@@ -107,7 +107,9 @@ def generate(n_rows: int = 200, seed: int = 42):
     n_dup_groups = max(n_rows // 40, 2)
     n_near_groups = max(n_rows // 30, 2)
     n_rename = max(n_rows // 100, 1)
-    n_substr = max(n_rows // 100, 1)
+    # substring pairs sit at J ~ 0.5 where LSH candidacy is ~94% per pair;
+    # plant enough groups that majority-detection assertions are stable
+    n_substr = max(n_rows // 50, 4)
     n_mislabel = max(n_rows // 100, 1)
 
     gid = 0

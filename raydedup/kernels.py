@@ -91,19 +91,58 @@ def normalize_content(text: str, lowercase: bool = False) -> str:
     return t.lower() if lowercase else t
 
 
+# --- token hashing spec (shared by the vectorized ASCII path and the
+# regex fallback; both MUST produce identical values for the same token):
+# pack the first 8 bytes little-endian into a uint64, then for each further
+# byte b: val = splitmix64(val) * POLY + b (mod 2^64); final = splitmix64(val).
+_POLY = U64(0x100000001B3)
+
+# ASCII char classes: 0 = whitespace, 1 = word [0-9A-Za-z_], 2 = punct (own
+# token). Bytes >= 128 never hit the fast path (non-ASCII batch falls back).
+_CLS = np.zeros(256, dtype=np.uint8)
+for _c in b" \t\n\r\x0b\x0c":
+    _CLS[_c] = 0
+for _r in (range(ord("0"), ord("9") + 1), range(ord("A"), ord("Z") + 1),
+           range(ord("a"), ord("z") + 1), [ord("_")]):
+    for _c in _r:
+        _CLS[_c] = 1
+for _c in range(33, 127):
+    if _CLS[_c] == 0 and chr(_c) not in " ":
+        if _CLS[_c] != 1:
+            _CLS[_c] = 2
+for _c in range(128, 256):
+    _CLS[_c] = 1   # placeholder; fast path rejects non-ASCII batches
+_LOWER = np.arange(256, dtype=np.uint8)
+_LOWER[ord("A"):ord("Z") + 1] += 32
+
+
+def _token_hash_bytes(bs: bytes) -> int:
+    """Reference (scalar) implementation of the token-hash spec."""
+    val = int.from_bytes(bs[:8], "little")
+    m = (1 << 64) - 1
+    for b in bs[8:]:
+        # splitmix64 scalar
+        x = val
+        x = (x + 0x9E3779B97F4A7C15) & m
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & m
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & m
+        x ^= x >> 31
+        val = (x * 0x100000001B3 + b) & m
+    return int(splitmix64(np.array([val], dtype=U64))[0])
+
+
 @lru_cache(maxsize=1_000_000)
 def _token_hash_cached(tok: str) -> int:
-    return hash64_str(tok)
+    return _token_hash_bytes(tok.encode("utf-8", "surrogatepass"))
 
 
-def tokenize_hash_batch(texts, lowercase: bool = False):
-    """Tokenize a batch of documents and map tokens to stable uint64 hashes.
-
-    Returns (flat_hashes uint64[T], doc_offsets int64[n+1]) where
-    flat_hashes[doc_offsets[i]:doc_offsets[i+1]] are doc i's token hashes in
-    order. Only *unique* tokens in the batch are hashed in Python (cached).
-    """
-    tok_lists = [TOKEN_RE.findall(normalize_content(t, lowercase)) for t in texts]
+def _tokenize_hash_regex(texts, lowercase: bool):
+    """Fallback path: regex tokenizer + per-token cached hash (same values as
+    the vectorized path by construction)."""
+    tok_lists = [TOKEN_RE.findall(normalize_content(t, lowercase))
+                 for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                        count=len(tok_lists))
     offsets = np.zeros(len(tok_lists) + 1, dtype=np.int64)
@@ -119,6 +158,108 @@ def tokenize_hash_batch(texts, lowercase: bool = False):
             flat[pos] = th(t)
             pos += 1
     return flat, offsets
+
+
+def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
+                         lowercase: bool):
+    """Fully vectorized byte-level tokenizer over concatenated ASCII docs.
+
+    byte_offs: int64[n+1] doc boundaries into data (uint8). Token boundaries
+    replicate TOKEN_RE (`\\w+|[^\\w\\s]`) for ASCII; hashing follows the
+    shared spec above. No per-token Python.
+    """
+    n = len(byte_offs) - 1
+    if lowercase:
+        data = _LOWER[data]
+    cls = _CLS[data]
+    # word-run starts: word byte whose previous byte (within the same doc)
+    # is not word; doc starts count as boundaries
+    prev = np.empty_like(cls)
+    prev[0] = 0
+    prev[1:] = cls[:-1]
+    starts_docs = byte_offs[:-1]
+    starts_docs = starts_docs[starts_docs < len(cls)]
+    prev[starts_docs] = 0
+    tok_start = ((cls == 1) & (prev != 1)) | (cls == 2)
+    tpos = np.nonzero(tok_start)[0]
+    if len(tpos) == 0:
+        return np.empty(0, dtype=U64), np.zeros(n + 1, dtype=np.int64)
+    # token end = next non-word byte after the start (O(n) reverse scan),
+    # capped at the token's doc end (adjacent docs touch in the flat buffer)
+    idx_arr = np.arange(len(cls) + 1, dtype=np.int64)
+    tmp = np.where(cls != 1, idx_arr[:-1], len(cls))
+    next_nonword = np.minimum.accumulate(
+        np.r_[tmp, len(cls)][::-1])[::-1][:-1]
+    doc_of = np.searchsorted(byte_offs, tpos, side="right") - 1
+    ends = np.minimum(next_nonword[tpos], byte_offs[doc_of + 1])
+    is_punct = cls[tpos] == 2
+    ends = np.where(is_punct, tpos + 1, ends)
+    lens = ends - tpos
+
+    val = np.zeros(len(tpos), dtype=U64)
+    with np.errstate(over="ignore"):
+        for j in range(8):
+            m = lens > j
+            idx = np.minimum(tpos + j, len(data) - 1)
+            val |= np.where(m, data[idx].astype(np.uint64), U64(0)) \
+                << U64(8 * j)
+        # long tokens (rare): continue per the spec on the active subset
+        maxlen = int(lens.max())
+        j = 8
+        while j < maxlen:
+            m = lens > j
+            if not m.any():
+                break
+            act = np.nonzero(m)[0]
+            val[act] = splitmix64(val[act]) * _POLY \
+                + data[tpos[act] + j].astype(np.uint64)
+            j += 1
+    flat = splitmix64(val)
+
+    counts = np.bincount(doc_of, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return flat, offsets
+
+
+def tokenize_hash_batch(texts, lowercase: bool = False):
+    """Tokenize a batch of documents and map tokens to stable uint64 hashes.
+
+    Returns (flat_hashes uint64[T], doc_offsets int64[n+1]) where
+    flat_hashes[doc_offsets[i]:doc_offsets[i+1]] are doc i's token hashes in
+    order. ASCII batches take the vectorized byte path; any non-ASCII falls
+    back to the regex path (identical hash values by the shared spec)."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=U64), np.zeros(1, dtype=np.int64)
+    try:
+        encoded = [("" if t is None else t).encode("ascii") for t in texts]
+    except UnicodeEncodeError:
+        return _tokenize_hash_regex(texts, lowercase)
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    byte_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=byte_offs[1:])
+    data = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    return _tokenize_hash_ascii(byte_offs, data, lowercase)
+
+
+def tokenize_hash_arrow(col, lowercase: bool = False):
+    """Zero-copy variant: (large_)string column -> (flat_hashes, doc_offsets)
+    straight from the Arrow buffers when the batch is pure ASCII."""
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    data = data[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    if len(data) and data.max() >= 128:
+        return _tokenize_hash_regex(col.to_pylist(), lowercase)
+    return _tokenize_hash_ascii(offs, data, lowercase)
 
 
 def shingle_hashes(flat_hashes: np.ndarray, doc_offsets: np.ndarray, k: int):

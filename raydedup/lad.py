@@ -1,0 +1,139 @@
+"""Driver-side LAD-style off-topic scoring for small N (SURVEY §7 "exact LAD
+retained only as a small-N driver-side utility").
+
+Reference semantics (selfclean/scoring/lad_scoring.py:28-208, studied for
+behavior; reimplemented from the documented algorithm, not copied): build the
+single-linkage dendrogram over the condensed distances, then assign each leaf
+an isolation-area score — samples that merge late (high) and alone accumulate
+large area and rank first (fixture:
+tests/unittests/cleaner/off_topic_samples/test_lad_scoring.py:9-19).
+
+Documented approximation: the score here is the exact sum over a leaf's
+ancestor path of (parent_merge_dist - node_merge_dist) * (subtree_leaf_count
+/ N) — the dominant rectangle term of LAD; the reference's additional
+"white space" back-fill rectangles (lad_scoring.py:210-290) are not
+reproduced (the reference cannot be executed in this environment to validate
+them bit-for-bit). The far-outlier ordering property is preserved.
+
+scipy is unavailable; single linkage is computed with an O(N^2) Prim MST —
+fine for the intended N <= a few thousand.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def single_linkage_merges(dist: np.ndarray):
+    """Dense symmetric (N,N) distances -> merge list [(a, b, d)] in merge
+    order, where a/b are cluster ids (leaves 0..N-1, internal N..2N-2).
+
+    Single linkage equals Kruskal on the MST edges sorted ascending; the MST
+    comes from O(N^2) Prim.
+    """
+    n = len(dist)
+    in_tree = np.zeros(n, dtype=bool)
+    best = np.full(n, np.inf)
+    best_from = np.zeros(n, dtype=np.int64)
+    in_tree[0] = True
+    best_m = np.minimum(best, dist[0])
+    best_from = np.where(dist[0] < best, 0, best_from)
+    best = best_m
+    best[0] = np.inf
+    edges = []
+    for _ in range(n - 1):
+        j = int(np.argmin(best))
+        edges.append((int(best_from[j]), j, float(best[j])))
+        in_tree[j] = True
+        upd = dist[j] < best
+        upd &= ~in_tree
+        best_from = np.where(upd, j, best_from)
+        best = np.where(upd, dist[j], best)
+        best[in_tree] = np.inf
+
+    edges.sort(key=lambda e: e[2])
+    parent = list(range(2 * n - 1))
+    cluster_of = list(range(n))        # representative -> current cluster id
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    merges = []
+    next_id = n
+    for a, b, d in edges:
+        ra, rb = find(a), find(b)
+        ca, cb = cluster_of[ra], cluster_of[rb]
+        merges.append((ca, cb, d))
+        parent[rb] = ra
+        cluster_of[ra] = next_id
+        next_id += 1
+    return merges
+
+
+def lad_ranking(dist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """-> (scores, indices) in the reference's RANKING ORDER.
+
+    The reference's off-topic ranking IS the dendrogram DFS emission order
+    with the SMALLER subtree visited first (lad_scoring.py:103-108: children
+    swapped so the smaller goes left; :161-168: left pushed last = popped
+    first; calc_scores returns `scoring` unsorted, lad_mixin.py:16-34 passes
+    it through). A far outlier is the smallest subtree hanging off the root,
+    so it is emitted — and therefore ranked — first
+    (test_lad_scoring.py:9-19).
+
+    Each leaf's score is the cumulative sum of node rectangle areas
+    (end-start)*(dist_parent-dist_node) emitted so far (root extent [0,1],
+    dist_parent of the root = 1.0, distances pre-clipped to [0,1] by the
+    caller) — ascending along the ranking. The reference's additional
+    white-space back-fill rectangles (lad_scoring.py:210-290) only shift the
+    cumulative values, never the order; they are not reproduced (documented
+    approximation; reference not executable here).
+    """
+    n = len(dist)
+    if n == 1:
+        return np.zeros(1), np.zeros(1, dtype=np.int64)
+    merges = single_linkage_merges(dist)
+    n_nodes = 2 * n - 1
+    left = np.full(n_nodes, -1, dtype=np.int64)
+    right = np.full(n_nodes, -1, dtype=np.int64)
+    height = np.zeros(n_nodes)
+    size = np.ones(n_nodes, dtype=np.int64)
+    for i, (a, b, d) in enumerate(merges):
+        node = n + i
+        left[node], right[node] = a, b
+        height[node] = d
+        size[node] = size[a] + size[b]
+
+    root = n_nodes - 1
+    running = 0.0
+    out_scores, out_idx = [], []
+    # stack of (node, start, end, dist_parent); smaller child pushed last
+    stack = [(root, 0.0, 1.0, 1.0)]
+    while stack:
+        node, start, end, dist_parent = stack.pop()
+        square = (end - start) * (dist_parent - height[node])
+        if square > 0.0:
+            running += square
+        if node < n:
+            out_scores.append(running)
+            out_idx.append(node)
+            continue
+        lc, rc = left[node], right[node]
+        if size[lc] > size[rc]:
+            lc, rc = rc, lc
+        p_left = size[lc] / size[node]
+        w_left = start + (end - start) * p_left
+        stack.append((rc, w_left, end, height[node]))
+        stack.append((lc, start, w_left, height[node]))
+    return np.asarray(out_scores), np.asarray(out_idx, dtype=np.int64)
+
+
+def lad_scores(dist: np.ndarray) -> np.ndarray:
+    """Per-leaf cumulative scores indexed by leaf id (see lad_ranking)."""
+    scores, idx = lad_ranking(dist)
+    out = np.zeros(len(dist))
+    out[idx] = scores
+    return out

@@ -35,8 +35,9 @@ class SignatureActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        texts = batch.column("content").to_pylist()
-        flat, offs = K.tokenize_hash_batch(texts, lowercase=cfg.shingle.lowercase)
+        # straight from the Arrow buffers — no to_pylist string materialization
+        flat, offs = K.tokenize_hash_arrow(batch.column("content"),
+                                           lowercase=cfg.shingle.lowercase)
         sh, so = K.shingle_hashes(flat, offs, cfg.shingle.k)
         sig = K.minhash_signatures(sh, so, self.perm)
         sim = K.simhash64(sh, so) if self.with_simhash else \

@@ -1,0 +1,54 @@
+"""Driver-side LAD-style utility: reference off-topic fixture ports."""
+
+import numpy as np
+import pytest
+
+from raydedup.lad import lad_ranking, lad_scores, single_linkage_merges
+
+
+def _dist_from_points(pts: np.ndarray) -> np.ndarray:
+    d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    return d
+
+
+def test_far_outlier_ranks_first():
+    """Mirrors tests/unittests/cleaner/off_topic_samples/test_lad_scoring.py:9-19:
+    a single far outlier tops the ranking (DFS emission order, smallest
+    subtree first)."""
+    rng = np.random.default_rng(4)
+    pts = rng.normal(0, 0.1, size=(30, 4))
+    pts[17] += 10.0                      # planted far outlier
+    d = _dist_from_points(pts)
+    d = d / d.max()                      # reference clips distances to [0,1]
+    scores, order = lad_ranking(d)
+    assert order[0] == 17
+    # cumulative scores are nondecreasing along the ranking
+    assert (np.diff(scores) >= -1e-12).all()
+
+
+def test_two_clusters_outlier_beats_cluster_members():
+    rng = np.random.default_rng(9)
+    a = rng.normal(0, 0.05, size=(10, 3))
+    b = rng.normal(5, 0.05, size=(10, 3))
+    out = np.full((1, 3), 50.0)
+    pts = np.vstack([a, b, out])
+    d = _dist_from_points(pts)
+    scores, order = lad_ranking(d / d.max())
+    assert order[0] == 20
+
+
+def test_single_linkage_merge_order_matches_chain():
+    # points on a line at 0, 1, 3, 7: single linkage merges (0,1) then
+    # ({0,1},3) then ({0,1,3},7)
+    pts = np.array([[0.0], [1.0], [3.0], [7.0]])
+    merges = single_linkage_merges(_dist_from_points(pts))
+    dists = [round(m[2], 6) for m in merges]
+    assert dists == [1.0, 2.0, 4.0]
+
+
+def test_scores_nonnegative_and_sized():
+    rng = np.random.default_rng(2)
+    d = _dist_from_points(rng.normal(size=(25, 5)))
+    s = lad_scores(d)
+    assert s.shape == (25,)
+    assert (s >= 0).all()
