@@ -122,10 +122,41 @@ _PAIR_SCHEMA = pa.schema([
 ])
 
 
+def _round6(col):
+    """floor(x*1e6 + 0.5)/1e6 — identical IEEE ops to the SQL oracle's
+    floor-based rounding (avoids the numpy half-even vs DuckDB half-away
+    divergence of round())."""
+    import pyarrow.compute as pc
+    x = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.array(np.floor(x * 1e6 + 0.5) / 1e6, pa.float64())
+
+
 def _q_minhash_dup_pairs(sf_dir: str):
+    """Full MinHash/LSH pair surface with a SQL oracle: all verified
+    distance-metric pairs (exact + near_dup; substring excluded — its
+    candidacy is MinHash-probabilistic) projected to SQL-expressible
+    columns. est_jaccard (signature-dependent) is pytest-gated instead."""
+    import pyarrow.compute as pc
+
     from raydedup.pipeline import run_pipeline
+    from raydedup.stages.verify import distance_pairs
     res = run_pipeline(_docs_as_code(sf_dir))
-    return _collect(res.ranked_pairs, _PAIR_SCHEMA)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "jaccard": t.column("jaccard"),
+            "distance": t.column("distance"),
+            "match_kind": t.column("match_kind"),
+        })
+
+    out = distance_pairs(res.verified_pairs).map_batches(
+        fmt, batch_format="pyarrow")
+    return _collect(out, pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("jaccard", pa.float64()), ("distance", pa.float64()),
+        ("match_kind", pa.string())]))
 
 
 def _q_dup_clusters(sf_dir: str):
@@ -138,7 +169,33 @@ def _q_duplicity_ranking(sf_dir: str):
     from raydedup.pipeline import run_pipeline
     from raydedup.stages.rank import duplicity_ranking
     res = run_pipeline(_docs_as_code(sf_dir))
-    return duplicity_ranking(res.duplicity)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": t.column("id"),
+            "cluster_id": t.column("cluster_id"),
+            "cluster_size": t.column("cluster_size"),
+            # sums are rounded on both sides: float addition order differs
+            # between Ray's Sum aggregate and DuckDB's sum
+            "duplicity_score": _round6(t.column("duplicity_score")),
+            "off_topic_score": _round6(t.column("off_topic_score")),
+        })
+
+    return duplicity_ranking(res.duplicity).map_batches(
+        fmt, batch_format="pyarrow")
+
+
+def _q_quantile_off_topic(sf_dir: str):
+    """Reference-parity quantile off-topic score
+    (quantile_off_topic_mixin.py:14-31) over the sparse verified-pair set."""
+    from raydedup.pipeline import run_pipeline
+    from raydedup.stages.rank import quantile_off_topic
+    from raydedup.stages.verify import distance_pairs
+    res = run_pipeline(_docs_as_code(sf_dir))
+    ids = res.signatures.select_columns(["id"])
+    n = ids.count()
+    return quantile_off_topic(distance_pairs(res.verified_pairs), ids, n,
+                              q=0.01)
 
 
 def _q_simhash_dup_pairs(sf_dir: str):
@@ -202,10 +259,25 @@ def _q_session_windows(sf_dir: str):
 
 
 def _q_substring_pairs(sf_dir: str):
+    """Containment/substring matches, projected to the SQL-expressible
+    columns. Caveat (documented): candidacy is LSH-probabilistic, so for
+    containment pairs at very low Jaccard the engine may under-report vs the
+    exhaustive SQL; the planted-substring pytest fixture gates recall."""
     from raydedup.pipeline import run_pipeline
     res = run_pipeline(_docs_as_code(sf_dir))
     sub = res.verified_pairs.filter(expr="match_kind == 'substring'")
-    return _collect(sub, _PAIR_SCHEMA)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": t.column("id_a"), "id_b": t.column("id_b"),
+            "jaccard": t.column("jaccard"),
+            "containment": t.column("containment"),
+        })
+
+    return _collect(sub.map_batches(fmt, batch_format="pyarrow"),
+                    pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("jaccard", pa.float64()),
+                               ("containment", pa.float64())]))
 
 
 def _q_embedding_near_dup_pairs(sf_dir: str):
@@ -234,6 +306,15 @@ def _q_embedding_pair_ranking(sf_dir: str):
                         limit=500)
 
 
+def _q_approx_nn_ranking(sf_dir: str):
+    """Per-item NN table for every row (reference
+    get_approx_near_duplicate_ranking analog, embedding_distance_mixin.py:
+    92-127); angular distance, brute-force recall=1 instead of Annoy."""
+    from raydedup.stages.embedding import approx_nn_ranking, load_embeddings
+    return approx_nn_ranking(load_embeddings(f"{sf_dir}/embeddings.parquet"),
+                             k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -256,10 +337,119 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "session_windows": _q_session_windows,
         "substring_pairs": _q_substring_pairs,
+        "quantile_off_topic": _q_quantile_off_topic,
+        "approx_nn_ranking": _q_approx_nn_ranking,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+# Shared pair CTEs: exact 5-gram token shingles -> exact-Jaccard /
+# containment pairs; exact-text pairs; dist_p = all distance-metric pairs
+# (exact at d=0 + near-dup at d=1-J, J >= 0.7) — the SQL ground truth the
+# MinHash/LSH plane must reproduce. Used by every pair-derived oracle.
+_PAIR_CTES = r"""toks AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\w+|[^\w\s]') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= 5
+    THEN list_distinct(list_transform(range(1, len(t) - 3),
+         i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2]
+              || chr(1) || t[i+3] || chr(1) || t[i+4]))
+    ELSE list_distinct([list_aggregate(t, 'string_agg', chr(1))])
+    END AS s
+  FROM toks WHERE len(t) > 0
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), jacc AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j,
+         CAST(i.i AS DOUBLE) / least(sa.n, sb.n) AS cont
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+), exact_p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON a.text = b.text AND a.doc_id < b.doc_id
+), dist_p AS (
+  -- explicit DOUBLE casts: under WITH RECURSIVE, DuckDB 1.0 unifies the
+  -- union type to the FIRST branch's DECIMAL(2,1) literal type, silently
+  -- quantizing every jaccard/distance to one decimal digit
+  SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS j, CAST(0.0 AS DOUBLE) AS d,
+         'exact' AS kind FROM exact_p
+  UNION ALL
+  SELECT q.id_a, q.id_b, q.j, 1.0 - q.j AS d, 'near_dup' AS kind
+  FROM jacc q LEFT JOIN exact_p e
+    ON e.id_a = q.id_a AND e.id_b = q.id_b
+  WHERE q.j >= 0.7 AND e.id_a IS NULL
+)"""
+
+# Connected components over dist_p: undirected transitive closure
+# (recursive CTE) + min-reachable-id label; singletons map to themselves.
+_CC_CTES = _PAIR_CTES + r""", und AS (
+  SELECT id_a AS s, id_b AS t FROM dist_p
+  UNION
+  SELECT id_b, id_a FROM dist_p
+), reach AS (
+  SELECT s AS id, t AS r FROM und
+  UNION
+  SELECT reach.id, und.t FROM reach JOIN und ON reach.r = und.s
+), cc AS (
+  SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+), allc AS (
+  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc c ON c.id = d.doc_id
+)"""
+
+
+def _lang_id_sql() -> str:
+    from raydedup.stages.textstats import STOPWORDS
+    langs = sorted(STOPWORDS)
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang])) \
+            + "]"
+
+    hits = ",\n       ".join(
+        f"len(list_filter(toks, x -> list_contains({lst(lg)}, x))) AS h_{lg}"
+        for lg in langs)
+    ratios = ",\n       ".join(
+        f"CASE WHEN n = 0 THEN 0.0 ELSE h_{lg} / CAST(n AS DOUBLE) END "
+        f"AS r_{lg}" for lg in langs)
+    best = "greatest(" + ", ".join(f"r_{lg}" for lg in langs) + ")"
+    # first language in sorted order wins ties (engine argmax update rule)
+    pred = " ".join(f"WHEN r_{lg} = best THEN '{lg}'" for lg in langs[:-1])
+    return f"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, len(toks) AS n,
+       {hits}
+          FROM t
+        ), r AS (
+          SELECT doc_id, n,
+       {ratios}
+          FROM s
+        ), b AS (
+          SELECT doc_id, n, {best} AS best,
+                 {', '.join(f'r_{lg}' for lg in langs)}
+          FROM r
+        )
+        SELECT doc_id,
+               CASE WHEN n = 0 OR best <= 0.0 THEN 'und'
+                    {pred}
+                    ELSE '{langs[-1]}' END AS pred_lang,
+               CASE WHEN n = 0 THEN 0.0 ELSE best END AS lang_score
+        FROM b
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -396,5 +586,125 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ORDER BY distance ASC, id_a ASC, id_b ASC
             LIMIT 500
+        """,
+        "approx_nn_ranking": """
+            WITH sims AS (
+              SELECT a.vec_id AS seed_idx, b.vec_id AS nn_idx,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))
+                         AS sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ), ranked AS (
+              SELECT seed_idx, nn_idx, sim,
+                     row_number() OVER (PARTITION BY seed_idx
+                                        ORDER BY sim DESC, nn_idx ASC)
+                         AS rank
+              FROM sims
+            )
+            SELECT seed_idx, rank, nn_idx,
+                   round(sqrt(2.0 * (1.0 - least(greatest(sim, -1.0), 1.0))),
+                         9) AS nn_dist
+            FROM ranked WHERE rank <= 4
+        """,
+        "lang_id": _lang_id_sql(),
+        "minhash_dup_pairs": f"""
+            WITH {_PAIR_CTES}
+            SELECT id_a, id_b, j AS jaccard, d AS distance,
+                   kind AS match_kind
+            FROM dist_p
+        """,
+        "substring_pairs": f"""
+            WITH {_PAIR_CTES}
+            SELECT id_a, id_b, j AS jaccard, cont AS containment
+            FROM jacc WHERE j < 0.7 AND cont >= 0.9
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE {_CC_CTES}
+            SELECT id, cluster_id FROM allc
+        """,
+        "duplicity_ranking": f"""
+            WITH RECURSIVE {_CC_CTES}, csizes AS (
+              SELECT cluster_id, count(*) AS cluster_size
+              FROM allc GROUP BY 1
+            ), sims AS (
+              SELECT id_a AS id, 1.0 - d AS sim FROM dist_p
+              UNION ALL
+              SELECT id_b, 1.0 - d FROM dist_p
+            ), agg AS (
+              SELECT id, sum(sim) AS dup_sum, max(sim) AS max_sim
+              FROM sims GROUP BY id
+            )
+            SELECT a.id, a.cluster_id, s.cluster_size,
+                   floor(coalesce(g.dup_sum, 0.0) * 1e6 + 0.5) / 1e6
+                       AS duplicity_score,
+                   floor((1.0 - coalesce(g.max_sim, 0.0)) * 1e6 + 0.5) / 1e6
+                       AS off_topic_score
+            FROM allc a
+            JOIN csizes s ON s.cluster_id = a.cluster_id
+            LEFT JOIN agg g ON g.id = a.id
+        """,
+        "label_error_candidates": f"""
+            WITH {_PAIR_CTES}, ep AS (
+              SELECT p.id_a AS id, p.d, (a.lang = b.lang) AS same
+              FROM dist_p p JOIN documents a ON a.doc_id = p.id_a
+              JOIN documents b ON b.doc_id = p.id_b
+              UNION ALL
+              SELECT p.id_b, p.d, (a.lang = b.lang)
+              FROM dist_p p JOIN documents a ON a.doc_id = p.id_a
+              JOIN documents b ON b.doc_id = p.id_b
+            ), mn AS (
+              SELECT id, min(CASE WHEN same THEN d END) AS ms,
+                     min(CASE WHEN NOT same THEN d END) AS md
+              FROM ep GROUP BY id
+            )
+            SELECT d.doc_id AS id, d.lang,
+                   coalesce(m.ms, 1.0) AS min_same,
+                   coalesce(m.md, 1.0) AS min_diff,
+                   CASE WHEN coalesce(m.ms, 1.0) = 0.0
+                             AND coalesce(m.md, 1.0) = 0.0 THEN 0.5
+                        ELSE (coalesce(m.md, 1.0) * coalesce(m.md, 1.0))
+                             / (coalesce(m.ms, 1.0) * coalesce(m.ms, 1.0)
+                                + coalesce(m.md, 1.0) * coalesce(m.md, 1.0))
+                   END AS score
+            FROM documents d LEFT JOIN mn m ON m.id = d.doc_id
+        """,
+        "quantile_off_topic": f"""
+            WITH {_PAIR_CTES}, params AS (
+              SELECT CAST(count(*) AS BIGINT) AS N,
+                     0.01 * (count(*) - 1) AS h,
+                     CAST(floor(0.01 * (count(*) - 1)) AS BIGINT) AS i0,
+                     0.01 * (count(*) - 1)
+                         - floor(0.01 * (count(*) - 1)) AS frac
+              FROM documents
+            ), ep AS (
+              SELECT id_a AS id, d FROM dist_p
+              UNION ALL
+              SELECT id_b, d FROM dist_p
+            ), rk AS (
+              SELECT id, d,
+                     row_number() OVER (PARTITION BY id ORDER BY d) AS rn,
+                     count(*) OVER (PARTITION BY id) AS k
+              FROM ep
+            ), st AS (
+              SELECT r.id, max(r.k) AS k,
+                     max(CASE WHEN r.rn = p.i0 THEN r.d END) AS d_i0,
+                     max(CASE WHEN r.rn = least(p.i0 + 1, p.N - 1)
+                         THEN r.d END) AS d_i1
+              FROM rk r CROSS JOIN params p GROUP BY r.id
+            ), sc AS (
+              SELECT s.id,
+                     CASE WHEN p.i0 <= 0 THEN 0.0
+                          WHEN s.k >= p.i0 THEN s.d_i0 ELSE 1.0 END AS lo,
+                     CASE WHEN least(p.i0 + 1, p.N - 1) <= 0 THEN 0.0
+                          WHEN s.k >= least(p.i0 + 1, p.N - 1) THEN s.d_i1
+                          ELSE 1.0 END AS hi
+              FROM st s CROSS JOIN params p
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(x.lo + p.frac * (x.hi - x.lo),
+                            CASE WHEN p.i0 = 0 THEN p.frac ELSE 1.0 END)
+                       AS off_topic_q
+            FROM documents d CROSS JOIN params p
+            LEFT JOIN sc x ON x.id = d.doc_id
         """,
     }

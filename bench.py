@@ -76,8 +76,13 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # warm the page cache so we measure compute + shuffle, not first disk read
     rd.read_parquet(code_dir).count()
 
+    # partitions sized by DATA VOLUME, clamped to the CPU count: shuffle
+    # aggregator spin-up is a fixed per-partition cost, so partitions ~=
+    # num_cpus on a small corpus made 32 CPUs SLOWER than 16 (round-1
+    # regression). ~25k rows per partition keeps each aggregator busy.
+    npart = min(num_cpus, max(4, run_rows // 25_000))
     cfg = EngineConfig(sig_concurrency=max(2, num_cpus - 2),
-                       join_num_partitions=num_cpus)
+                       join_num_partitions=npart)
 
     t0 = time.perf_counter()
     res = run_pipeline(rd.read_parquet(
@@ -165,15 +170,22 @@ def run_scaling() -> dict:
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    mean_lo = sum(r["value"] for r in runs_lo) / len(runs_lo)
+    mean_hi = sum(r["value"] for r in runs_hi) / len(runs_hi)
+    eff_mean = (mean_lo / mean_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
         "sec_lo_runs": [r["value"] for r in runs_lo],
         "sec_hi_runs": [r["value"] for r in runs_hi],
+        "sec_lo_mean": round(mean_lo, 3), "sec_hi_mean": round(mean_hi, 3),
         "files_per_s_lo": r_lo["files_per_s"],
         "files_per_s_hi": r_hi["files_per_s"],
+        # best-of-repeats (least cross-tenant perturbation) AND mean-of-
+        # repeats, so the headline number is not a cherry-pick surface
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_mean": round(eff_mean, 3),
         "corpus_rows": SCALING_ROWS,
     }
 

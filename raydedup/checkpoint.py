@@ -63,9 +63,18 @@ class CheckpointManager:
                 meta = json.load(f)
         except (OSError, json.JSONDecodeError):
             return False
-        return (meta.get("cfg_hash") == self.cfg_hash
+        if not (meta.get("cfg_hash") == self.cfg_hash
                 and meta.get("input_token") == self.input_token
-                and os.path.isdir(self._dir(stage)))
+                and os.path.isdir(self._dir(stage))):
+            return False
+        # validate the recorded part list against the directory: a manifest
+        # surviving a mangled data dir must not be trusted
+        recorded = meta.get("parts")
+        if recorded is not None:
+            have = set(os.listdir(self._dir(stage)))
+            if not set(recorded) <= have:
+                return False
+        return True
 
     def load(self, stage: str) -> ray.data.Dataset:
         return ray.data.read_parquet(self._dir(stage))
@@ -106,3 +115,119 @@ class CheckpointManager:
         if self.complete(name):
             return self.load(name)
         return self.save(name, build())
+
+    # ------------------------------------------------ per-partition stages
+
+    def _parts_done(self, stage: str, num_parts: int) -> set[int]:
+        out = self._dir(stage)
+        done = set()
+        for i in range(num_parts):
+            marker = os.path.join(out, f"part={i}.done.json")
+            if not os.path.exists(marker):
+                continue
+            try:
+                with open(marker) as f:
+                    meta = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if (meta.get("cfg_hash") == self.cfg_hash
+                    and meta.get("input_token") == self.input_token
+                    and os.path.isdir(os.path.join(out, f"ckpt_part={i}"))):
+                done.add(i)
+        return done
+
+    def partitioned_stage(self, name: str,
+                          pre: Callable[[], ray.data.Dataset],
+                          fn: Callable[[ray.data.Dataset], ray.data.Dataset],
+                          num_parts: int,
+                          chunk_parts: Optional[int] = None,
+                          ) -> ray.data.Dataset:
+        """Partition-granular checkpoint (north_star "checkpoints
+        per-partition signatures ... so the pipeline resumes mid-shuffle"):
+
+        - `pre()` yields the cheap upstream Dataset carrying an int64 `id`;
+          rows are assigned ckpt_part = hash63(id) % num_parts.
+        - `fn(ds)` is the EXPENSIVE stage body; it runs only over rows of
+          partitions without a committed marker, so a resumed run pays the
+          cheap scan but skips finished partitions' compute.
+        - output lands in <stage>/ckpt_part=<i>/ via one partitioned
+          write_parquet per chunk; each partition dir is committed with an
+          atomic rename + per-part marker. `chunk_parts` bounds how much
+          work can be lost to a mid-run kill (default: all missing parts in
+          one streaming job; a cluster run would set a small chunk).
+        """
+        out = self._dir(name)
+        os.makedirs(out, exist_ok=True)
+        done = self._parts_done(name, num_parts)
+        missing = sorted(set(range(num_parts)) - done)
+        step = chunk_parts or max(1, len(missing))
+        for c in range(0, len(missing), step):
+            chunk = missing[c:c + step]
+            self._run_part_chunk(name, pre, fn, num_parts, chunk)
+        ds = ray.data.read_parquet(out, file_extensions=["parquet"])
+        drop = [col for col in (ds.schema().names if ds.schema() else [])
+                if col == "ckpt_part"]
+        if drop:
+            ds = ds.drop_columns(drop)
+        if not os.path.exists(self._manifest(name)):
+            rows = ds.count()
+            wall = 0.0
+            for i in range(num_parts):
+                try:
+                    with open(os.path.join(out, f"part={i}.done.json")) as f:
+                        wall += json.load(f).get("part_wall_s", 0.0)
+                except (OSError, json.JSONDecodeError):
+                    pass
+            self.metrics[name] = StageMetrics(
+                rows=rows, wall_s=round(wall, 3),
+                rows_per_s=round(rows / wall, 1) if wall else 0.0)
+            with open(self._manifest(name), "w") as f:
+                json.dump({
+                    "stage": name, "cfg_hash": self.cfg_hash,
+                    "input_token": self.input_token,
+                    "num_parts": num_parts,
+                    "rows": rows, "wall_s": round(wall, 3),
+                    "rows_per_s": round(rows / wall, 1) if wall else 0.0,
+                    "parts": [f"ckpt_part={i}" for i in range(num_parts)],
+                    "partition_granular": True,
+                }, f, indent=2)
+        return ds
+
+    def _run_part_chunk(self, name, pre, fn, num_parts, chunk) -> None:
+        import numpy as np
+        import pyarrow as pa
+
+        out = self._dir(name)
+        want = np.array(sorted(chunk), dtype=np.int64)
+
+        def tag(t: pa.Table) -> pa.Table:
+            ids = t.column("id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            part = ids % np.int64(num_parts)
+            pos = np.clip(np.searchsorted(want, part), 0, len(want) - 1)
+            keep = want[pos] == part
+            t = t.filter(pa.array(keep))
+            return t.append_column(
+                "ckpt_part", pa.array(part[keep], pa.int64()))
+
+        t0 = time.perf_counter()
+        result = fn(pre().map_batches(tag, batch_format="pyarrow"))
+        tmp = out + f".tmp-{min(chunk)}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        result.write_parquet(tmp, partition_cols=["ckpt_part"])
+        wall = time.perf_counter() - t0
+        written = {d for d in os.listdir(tmp) if d.startswith("ckpt_part=")}
+        for i in chunk:
+            sub = f"ckpt_part={i}"
+            src = os.path.join(tmp, sub)
+            dst = os.path.join(out, sub)
+            if sub not in written:
+                os.makedirs(src, exist_ok=True)   # empty partition is valid
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+            with open(os.path.join(out, f"part={i}.done.json"), "w") as f:
+                json.dump({"cfg_hash": self.cfg_hash,
+                           "input_token": self.input_token,
+                           "part": i,
+                           "part_wall_s": round(wall / len(chunk), 3)}, f)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -48,7 +48,9 @@ class LSHConfig:
     # explicitly"): members of one band bucket are split into `salt_buckets`
     # sub-groups keyed by hash(id); pair generation runs within-salt, plus a
     # second round over per-salt representatives for cross-salt connectivity.
-    salt_buckets: int = 1
+    # 0 = AUTO: a sampled band-size sketch picks the factor per run
+    # (candidates.auto_salt_buckets); 1 = off; >1 = forced.
+    salt_buckets: int = 0
     # Within one (band, salt) group: emit all pairs while |G| <= max_group_pairs
     # members, else a star to the min id (connectivity preserved for CC; the
     # drop is logged — "no silent caps").
@@ -96,6 +98,13 @@ class EngineConfig:
     # rep-id sets up to this size are broadcast (ray.put) for the semi-join
     # instead of hash-joining the signature payloads; beyond it, join.
     broadcast_id_limit: int = 20_000_000
+    # broadcast-verify additionally gates on ESTIMATED collected payload
+    # bytes (ids x (mean shingle bytes + signature)); beyond this, join.
+    broadcast_byte_limit: int = 2 << 30
+    # per-partition checkpointing of the signature stage (hash(id) % parts);
+    # chunk_parts bounds work lost to a mid-run kill (None = one job).
+    ckpt_num_parts: int = 16
+    ckpt_chunk_parts: int | None = None
 
     def __post_init__(self):
         assert self.minhash.num_perm == self.lsh.bands * self.lsh.rows, (

@@ -317,6 +317,66 @@ def shingle_hashes(flat_hashes: np.ndarray, doc_offsets: np.ndarray, k: int):
     return out, sh_offsets
 
 
+def segmented_unique(values: np.ndarray, offsets: np.ndarray):
+    """Per-segment sorted-unique, batch-wide: ONE lexsort over
+    (segment, value) + adjacent-diff keep mask — no per-segment Python.
+
+    values: uint64[S]; offsets: int64[n+1] segment boundaries.
+    Returns (uflat uint64[U], uoffs int64[n+1]) with each segment's values
+    sorted ascending and deduplicated."""
+    n = len(offsets) - 1
+    S = len(values)
+    if S == 0:
+        return np.empty(0, dtype=U64), np.zeros(n + 1, dtype=np.int64)
+    counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((values, seg))
+    v = values[order]
+    s = seg[order]
+    keep = np.empty(S, dtype=bool)
+    keep[0] = True
+    keep[1:] = (v[1:] != v[:-1]) | (s[1:] != s[:-1])
+    uflat = v[keep]
+    ucounts = np.bincount(s[keep], minlength=n)
+    uoffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ucounts, out=uoffs[1:])
+    return uflat, uoffs
+
+
+def segmented_intersection_sizes(flat: np.ndarray, offs: np.ndarray,
+                                 ia: np.ndarray, ib: np.ndarray
+                                 ) -> np.ndarray:
+    """For pairs of UNIQUE-value segments (rows ia[i], ib[i] of the ragged
+    array flat/offs), the intersection size of each pair — one batch-wide
+    lexsort over (pair, value) + adjacent-equal count, replacing a per-pair
+    np.intersect1d loop. Since each side is duplicate-free, a value appearing
+    twice within one pair's combined run means it is present in both sets."""
+    m = len(ia)
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    la = (offs[ia + 1] - offs[ia]).astype(np.int64)
+    lb = (offs[ib + 1] - offs[ib]).astype(np.int64)
+    tot = la + lb
+    total = int(tot.sum())
+    if total == 0:
+        return np.zeros(m, dtype=np.int64)
+    pair_idx = np.repeat(np.arange(m, dtype=np.int64), tot)
+    # gather [a-run | b-run] per pair: arange minus per-run base, vectorized
+    ends = np.cumsum(tot)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - tot, tot)
+    in_a = within < np.repeat(la, tot)
+    src = np.where(
+        in_a,
+        np.repeat(offs[ia], tot) + within,
+        np.repeat(offs[ib], tot) + (within - np.repeat(la, tot)))
+    vals = flat[src]
+    order = np.lexsort((vals, pair_idx))
+    v = vals[order]
+    p = pair_idx[order]
+    dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    return np.bincount(p[1:][dup], minlength=m).astype(np.int64)
+
+
 SENTINEL64 = np.iinfo(np.uint64).max
 
 

@@ -8,12 +8,13 @@ an isolation-area score — samples that merge late (high) and alone accumulate
 large area and rank first (fixture:
 tests/unittests/cleaner/off_topic_samples/test_lad_scoring.py:9-19).
 
-Documented approximation: the score here is the exact sum over a leaf's
-ancestor path of (parent_merge_dist - node_merge_dist) * (subtree_leaf_count
-/ N) — the dominant rectangle term of LAD; the reference's additional
-"white space" back-fill rectangles (lad_scoring.py:210-290) are not
-reproduced (the reference cannot be executed in this environment to validate
-them bit-for-bit). The far-outlier ordering property is preserved.
+Both the ranking ORDER and the cumulative score VALUES follow the reference
+geometry, including the shrinking child x-intervals (w_right =
+start + (end-start)*p_right) and the white-space back-fill rectangles
+(lad_scoring.py:210-290); parity is gated by a hand-computed small-N fixture
+(tests/test_lad.py). Remaining caveat: child left/right order in TIES of
+subtree size follows this module's merge construction, which may differ from
+scipy's linkage child ordering on degenerate equal-distance inputs.
 
 scipy is unavailable; single linkage is computed with an O(N^2) Prim MST —
 fine for the intended N <= a few thousand.
@@ -74,7 +75,8 @@ def single_linkage_merges(dist: np.ndarray):
 
 
 def lad_ranking(dist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """-> (scores, indices) in the reference's RANKING ORDER.
+    """-> (scores, indices) in the reference's RANKING ORDER with the
+    reference's cumulative score VALUES.
 
     The reference's off-topic ranking IS the dendrogram DFS emission order
     with the SMALLER subtree visited first (lad_scoring.py:103-108: children
@@ -84,13 +86,22 @@ def lad_ranking(dist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     so it is emitted — and therefore ranked — first
     (test_lad_scoring.py:9-19).
 
-    Each leaf's score is the cumulative sum of node rectangle areas
-    (end-start)*(dist_parent-dist_node) emitted so far (root extent [0,1],
-    dist_parent of the root = 1.0, distances pre-clipped to [0,1] by the
-    caller) — ascending along the ranking. The reference's additional
-    white-space back-fill rectangles (lad_scoring.py:210-290) only shift the
-    cumulative values, never the order; they are not reproduced (documented
-    approximation; reference not executable here).
+    Score accumulation follows the reference geometry exactly
+    (lad_scoring.py:28-331):
+    - every node contributes its own rectangle
+      (end-start) * (dist_parent - node_height), root extent [0,1] with
+      dist_parent 1.0;
+    - the LEFT (smaller) child occupies [start, w_left] and the RIGHT child
+      [w_left, w_right] with w_right = start + (end-start)*p_right — the
+      interval SHRINKS when p_left > 0, leaving unallocated "white space";
+    - white space is back-filled (:210-290): after a leaf at x-extent
+      ending at leaf_end under parent height leaf_dist, the next node
+      starting at start > leaf_end adds (start-leaf_end)*leaf_dist, plus,
+      for every node popped since the last back-fill whose height > 0, the
+      rectangle (start - node_end) * (dist_parent - node_height) when
+      node_end < start.
+    Each leaf's score is the cumulative sum of every rectangle appended so
+    far — ascending along the ranking.
     """
     n = len(dist)
     if n == 1:
@@ -110,24 +121,48 @@ def lad_ranking(dist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     root = n_nodes - 1
     running = 0.0
     out_scores, out_idx = [], []
+    white: list[tuple[float, float, float]] = []   # (x_start, y_start, y_end)
+    leaf_end = None
+    leaf_dist = None
     # stack of (node, start, end, dist_parent); smaller child pushed last
     stack = [(root, 0.0, 1.0, 1.0)]
     while stack:
         node, start, end, dist_parent = stack.pop()
-        square = (end - start) * (dist_parent - height[node])
+        h = float(height[node])
+        # record the potential white space to the RIGHT of this node
+        if h > 0.0:
+            white.append((end, h, dist_parent))
+        # back-fill unallocated rectangles once the x-cursor jumps
+        if leaf_end is not None and leaf_end != start:
+            square = (start - leaf_end) * leaf_dist
+            if square > 0.0:
+                running += square
+            for (ws_x, ys, ye) in white:
+                if ws_x < start:
+                    square = (start - ws_x) * (ye - ys)
+                    if square > 0.0:
+                        running += square
+            white = []
+            leaf_end = None
+            leaf_dist = None
+        square = (end - start) * (dist_parent - h)
         if square > 0.0:
             running += square
         if node < n:
             out_scores.append(running)
             out_idx.append(node)
+            leaf_end = end
+            leaf_dist = dist_parent
             continue
         lc, rc = left[node], right[node]
         if size[lc] > size[rc]:
             lc, rc = rc, lc
         p_left = size[lc] / size[node]
+        p_right = size[rc] / size[node]
         w_left = start + (end - start) * p_left
-        stack.append((rc, w_left, end, height[node]))
-        stack.append((lc, start, w_left, height[node]))
+        w_right = start + (end - start) * p_right
+        stack.append((rc, w_left, w_right, h))
+        stack.append((lc, start, w_left, h))
     return np.asarray(out_scores), np.asarray(out_idx, dtype=np.int64)
 
 

@@ -84,7 +84,7 @@ def _exact_pairs_and_reps(sigs: ray.data.Dataset, cfg: EngineConfig):
         rep_sigs = hash_join(sigs, rep_ids.rename_columns({"id": "rep_id"}),
                              on="id", right_on="rep_id",
                              num_partitions=cfg.join_num_partitions)
-    return exact_pairs, rep_sigs
+    return exact_pairs, rep_sigs, srt
 
 
 def run_pipeline(code_files: ray.data.Dataset,
@@ -105,8 +105,15 @@ def run_pipeline(code_files: ray.data.Dataset,
 
         from raydedup.checkpoint import CheckpointManager, config_hash
         os.makedirs(ckpt_dir, exist_ok=True)
+        # input fingerprint: changed data at the same path must NOT silently
+        # reuse stale checkpoints — the row count (parquet metadata, cheap)
+        # is folded into the lineage token alongside the caller's path token
+        try:
+            _fp = code_files.count()
+        except Exception:
+            _fp = "unknown"
         ckpt = CheckpointManager(root=ckpt_dir, cfg_hash=config_hash(cfg),
-                                 input_token=input_token)
+                                 input_token=f"{input_token}#rows={_fp}")
 
     import os
     import time as _time
@@ -136,39 +143,90 @@ def run_pipeline(code_files: ray.data.Dataset,
         _cpus = int(_ray.cluster_resources().get("CPU", 4))
     except Exception:
         _cpus = 4
-    sigs = staged("signatures",
-                  lambda: S.compute_signatures(I.ingest(code_files), cfg)
-                  .repartition(4 * _cpus))
+    # block count sized by rows, capped at 4/CPU: hundreds of near-empty
+    # blocks just multiply per-task overhead on small inputs (the round-1
+    # 32-CPU regression), while ~2.5k rows/block keeps tasks meaningful.
+    try:
+        _n_rows = code_files.count()    # parquet: metadata-only
+    except Exception:
+        _n_rows = None
+    _blocks = 4 * _cpus if _n_rows is None else \
+        max(2, min(4 * _cpus, _n_rows // 2500 + 1))
+    if ckpt is not None:
+        # partition-granular checkpoint: signatures land in
+        # ckpt_part=<id % P> dirs with per-part commit markers, so a resumed
+        # run recomputes only unfinished partitions (north_star
+        # "checkpoints per-partition signatures").
+        P = cfg.ckpt_num_parts
+
+        def _with_part(ds):
+            def add(t: pa.Table) -> pa.Table:
+                ids = t.column("id").to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    "ckpt_part",
+                    pa.array(ids.astype(np.int64) % np.int64(P), pa.int64()))
+
+            return ds.map_batches(add, batch_format="pyarrow")
+
+        sigs = ckpt.partitioned_stage(
+            "signatures",
+            lambda: I.ingest(code_files),
+            lambda ds: _with_part(S.compute_signatures(ds, cfg)),
+            num_parts=P, chunk_parts=cfg.ckpt_chunk_parts)
+        _lap("signatures")
+    else:
+        sigs = staged("signatures",
+                      lambda: S.compute_signatures(I.ingest(code_files), cfg)
+                      .repartition(_blocks))
 
     # exact-dup fast path (SURVEY §2.7) + one representative per distinct
     # content for the near-dup plane (consumed by candidates AND verify)
-    exact_pairs, rep_sigs_lazy = _exact_pairs_and_reps(sigs, cfg)
+    exact_pairs, rep_sigs_lazy, sha_sort = _exact_pairs_and_reps(sigs, cfg)
     _lap("exact+reps build")
     rep_sigs = staged("rep_sigs", lambda: rep_sigs_lazy)
 
     # verified pairs are the hub of every downstream ranking/clustering stage
-    # and are small (only pairs above threshold)
+    # and are small (only pairs above threshold). Rep-level near-dup pairs are
+    # expanded back to exact-group members so the pair list matches the
+    # reference's all-pairs semantics (embedding_distance_mixin.py:41-83).
+    from raydedup.stages.expand import expand_to_members
     verified = staged("verified_pairs", lambda: exact_pairs.union(
-        V.verify_pairs(C.candidate_pairs(rep_sigs, cfg), rep_sigs, cfg)))
+        expand_to_members(
+            V.verify_pairs(C.candidate_pairs(rep_sigs, cfg), rep_sigs, cfg),
+            sha_sort, sigs, cfg)))
 
     result = DedupResult(ingested=I.ingest(code_files), signatures=sigs,
                          verified_pairs=verified)
+    # substring/containment matches are kept in verified_pairs as their own
+    # surface, but they are NOT distance-metric pairs (their Jaccard distance
+    # is above the threshold cut): the single-linkage-cut analog (CC),
+    # duplicity and label-error minima consume only true distance pairs —
+    # matching the reference's cut-at-threshold semantics (SURVEY §2.5).
+    dist_pairs = V.distance_pairs(verified)
 
     if IssueType.NEAR_DUPLICATES in issues:
         result.ranked_pairs = R.ranked_pairs(verified)
     if IssueType.OFF_TOPIC in issues or IssueType.NEAR_DUPLICATES in issues:
         ids = sigs.select_columns(["id"])
         result.clusters = staged(
-            "clusters", lambda: CL.connected_components(verified, ids, cfg))
-        result.duplicity = R.duplicity(verified, result.clusters, cfg)
+            "clusters", lambda: CL.connected_components(dist_pairs, ids, cfg))
+        result.duplicity = R.duplicity(dist_pairs, result.clusters, cfg)
         _lap("duplicity build")
     if IssueType.LABEL_ERRORS in issues:
         from raydedup.stages.labelerrors import label_error_scores
-        result.label_errors = label_error_scores(verified, sigs, cfg)
+        result.label_errors = label_error_scores(dist_pairs, sigs, cfg)
 
     # auto-cleaning (perform_auto_cleaning analog,
     # selfclean/cleaner/auto_cleaning_mixin.py:37-89): attach auto_issue
-    # flags from fraction_cut over each issue's score column
+    # flags from fraction_cut over each issue's score column.
+    # DOCUMENTED DEVIATION: for near-dup pairs the reference fits the cut on
+    # the FULL condensed N(N-1)/2 distance vector; here the fit runs on the
+    # sparse verified-pair scores only (all <= 1-threshold), so the quantile
+    # anchors and M differ structurally — the engine never materializes the
+    # N^2 vector by design. Flags agree when the contaminated tail (what the
+    # cut targets) lies inside the verified set, which is the regime the
+    # auto-clean is for; pair_rule=True preserves the alpha^2 pair
+    # treatment the length-based detection would otherwise miss.
     if cfg.autoclean.enabled:
         from raydedup.stages.autoclean import fraction_cut_dataset
         n = sigs.count()

@@ -92,14 +92,14 @@ def fraction_cut_cutoff(scores: np.ndarray, n_samples: int,
     return _logistic_ppf(prob, loc, scale)
 
 
-def threshold_sensitivity(scores: np.ndarray, n_samples: int,
-                          q: float = 0.05,
-                          pair_rule: bool | None = None) -> list[dict]:
-    """Sensitivity sweep: rerun fraction_cut over 17 log-spaced contamination
-    guesses alpha = 2^-10 .. 2^-2 (reference: auto_cleaning_mixin.py:156-217,
-    thresholds = 2 ** np.linspace(-10, -2, 17)); returns one record per alpha
-    with the number of flagged scores. Driver-side scalar math on a cached
-    score vector — cheap by construction (SURVEY §2.5)."""
+def alpha_sensitivity(scores: np.ndarray, n_samples: int,
+                      q: float = 0.05,
+                      pair_rule: bool | None = None) -> list[dict]:
+    """Contamination-guess sweep: rerun fraction_cut over 17 log-spaced
+    alpha = 2^-10 .. 2^-2 at fixed q (reference alpha_sensitivity,
+    auto_cleaning_mixin.py:186-217, alphas = 2 ** np.linspace(-10, -2, 17));
+    one record per alpha with the flagged count. Driver-side scalar math on
+    a cached score vector — cheap by construction (SURVEY §2.5)."""
     alphas = 2 ** np.linspace(-10, -2, 17)
     out = []
     for a in alphas:
@@ -107,6 +107,23 @@ def threshold_sensitivity(scores: np.ndarray, n_samples: int,
             if pair_rule is None else np.nonzero(_flags_with_rule(
                 scores, n_samples, float(a), q, pair_rule))[0]
         out.append({"alpha": float(a), "n_flagged": int(len(idx))})
+    return out
+
+
+def threshold_sensitivity(scores: np.ndarray, n_samples: int,
+                          alpha: float = 0.1,
+                          pair_rule: bool | None = None) -> list[dict]:
+    """Significance sweep matching the reference threshold_sensitivity
+    (auto_cleaning_mixin.py:156-184): q = 2^-10 .. 2^-2 (17 log-spaced
+    values) at fixed alpha = 0.1; one record per q with the flagged count."""
+    qs = 2 ** np.linspace(-10, -2, 17)
+    out = []
+    for q in qs:
+        idx = fraction_cut_scores(scores, n_samples, alpha=alpha,
+                                  q=float(q)) \
+            if pair_rule is None else np.nonzero(_flags_with_rule(
+                scores, n_samples, alpha, float(q), pair_rule))[0]
+        out.append({"q": float(q), "n_flagged": int(len(idx))})
     return out
 
 

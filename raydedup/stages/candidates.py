@@ -41,9 +41,9 @@ from raydedup.util import collect_up_to, effective_partitions, hash_join
 DRIVER_SMALL_LIMIT = 5_000_000
 
 
-def _explode_bands(cfg: EngineConfig):
+def _explode_bands(cfg: EngineConfig, salt_buckets: int | None = None):
     bands, rows = cfg.lsh.bands, cfg.lsh.rows
-    S = cfg.lsh.salt_buckets
+    S = cfg.lsh.salt_buckets if salt_buckets is None else salt_buckets
     salt_seed = K.U64(K.hash64_str(f"salt:{cfg.seed}"))
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -109,6 +109,17 @@ def _emit_runs(ids: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     # star portion: all selected runs in star mode; oversized runs in all mode
     star_sel = run_sel & (lens >= 2) if mode == "star" else \
         run_sel & (lens > cap)
+    if mode == "all" and star_sel.any():
+        # "no silent caps": oversized buckets fall back to star edges —
+        # log exactly how much pair work was capped (connectivity is kept)
+        ls = lens[star_sel]
+        dropped = int((ls * (ls - 1) // 2 - (ls - 1)).sum())
+        from raydedup.util import log
+        log.warning(
+            "star-edge cap: %d bucket(s) over cap=%d (max %d rows); "
+            "%d candidate pairs replaced by %d star edges",
+            int(star_sel.sum()), cap, int(ls.max()), dropped,
+            int((ls - 1).sum()))
     if star_sel.any():
         sidx = np.nonzero(star_sel)[0]
         reps = np.repeat(sidx, lens[sidx])
@@ -327,16 +338,86 @@ def dedupe_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
         .aggregate(Count(alias_name="_n")).select_columns(["id_a", "id_b"])
 
 
+# hot-band auto-salt knobs: a deterministic ~_AUTO_SALT_SAMPLE-doc sample of
+# the signatures is band-exploded and its max bucket size extrapolated; when
+# the estimated hottest band exceeds _AUTO_SALT_THRESHOLD rows the salt
+# factor is chosen to split it to ~_AUTO_SALT_TARGET rows per (band, salt)
+# group. Rationale: the sort-based grouped_pairs handles moderate runs, but
+# a single band bucket larger than a sort block concentrates in one range
+# partition (and its boundary handling would funnel the whole bucket into
+# the small second pass) — the north_rule's "skew handled explicitly" case.
+_AUTO_SALT_SAMPLE = 65536
+_AUTO_SALT_THRESHOLD = 8192
+_AUTO_SALT_TARGET = 1024
+
+
+def auto_salt_buckets(sigs: ray.data.Dataset, cfg: EngineConfig) -> int:
+    """Estimate the hottest band-bucket size from a deterministic doc sample
+    and pick the salt factor (1 = no salting needed). One cheap pass over a
+    projected sample; no materialization of the full exploded rows."""
+    n = sigs.count()
+    if n == 0:
+        return 1
+    frac = min(1.0, _AUTO_SALT_SAMPLE / n)
+    seed = K.U64(K.hash64_str(f"autosalt:{cfg.seed}"))
+    # 53-bit comparison (a uint64 cut literal overflows numpy scalar init)
+    cut53 = frac * float(1 << 53)
+    bands, rows_per = cfg.lsh.bands, cfg.lsh.rows
+
+    def sample_keys(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_sh = t.column("n_shingles").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h53 = (K.splitmix64(ids.view(np.uint64) ^ seed)
+                   >> K.U64(11)).astype(np.float64)
+            keep = (h53 <= cut53) & (n_sh > 0)
+        if not keep.any():
+            return pa.table({"gkey": pa.array([], pa.int64())})
+        sub = t.filter(pa.array(keep))
+        sig = _unpack_minhash(sub, cfg.minhash.num_perm)
+        bh = K.band_hashes(sig, bands, rows_per)
+        return pa.table({"gkey": pa.array(K.to_i63(bh.ravel()), pa.int64())})
+
+    keys = sigs.select_columns(["id", "minhash", "n_shingles"]) \
+        .map_batches(sample_keys, batch_format="pyarrow")
+    tbl = collect_up_to(keys, 4 * _AUTO_SALT_SAMPLE * cfg.lsh.bands)
+    if tbl is None or tbl.num_rows == 0 or "gkey" not in tbl.column_names:
+        # sample larger than the bound can only mean extreme duplication of
+        # work upstream; be conservative
+        return 1 if tbl is not None else 16
+    g = np.sort(tbl.column("gkey").to_numpy(zero_copy_only=False))
+    starts = np.nonzero(np.r_[True, g[1:] != g[:-1]])[0]
+    max_run = int(np.diff(np.r_[starts, len(g)]).max())
+    est_hot = max_run / frac
+    if est_hot <= _AUTO_SALT_THRESHOLD:
+        return 1
+    s = 1
+    while s < 256 and est_hot / s > _AUTO_SALT_TARGET:
+        s *= 2
+    from raydedup.util import log
+    log.warning(
+        "auto-salt: estimated hottest band bucket ~%d rows "
+        "(sample max %d at frac %.4f) -> salt_buckets=%d",
+        int(est_hot), max_run, frac, s)
+    return s
+
+
 def candidate_pairs(sigs: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
-    """Signatures -> deduplicated canonical candidate pair Dataset."""
-    rows = sigs.map_batches(_explode_bands(cfg), batch_format="pyarrow")
+    """Signatures -> deduplicated canonical candidate pair Dataset.
+
+    salt_buckets: 0 = AUTO (sample-based hot-band detection, see
+    auto_salt_buckets), 1 = off, >1 = forced manual salting."""
+    S = cfg.lsh.salt_buckets
+    if S == 0:
+        S = auto_salt_buckets(sigs, cfg)
+    rows = sigs.map_batches(_explode_bands(cfg, S), batch_format="pyarrow")
     cap = cfg.lsh.max_group_pairs
     npart = cfg.join_num_partitions
-    if cfg.lsh.salt_buckets > 1:
+    if S > 1:
         rows = rows.materialize()   # consumed by round 1 and round 2
     pairs = grouped_pairs(rows.select_columns(["gkey", "id"]), "gkey", cap,
                           npart, mode="all")
-    if cfg.lsh.salt_buckets > 1:
+    if S > 1:
         # round 2: per-(band,salt) representatives meet on the raw band key
         reps = rows.groupby("gkey").aggregate(
             Min("id", alias_name="id"), Min("band_key", alias_name="bkey"))

@@ -25,43 +25,49 @@ from raydedup.config import EngineConfig
 from raydedup.util import hash_join
 
 
+def _cc_arrays(ids_a: np.ndarray, ids_b: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side connected components, fully vectorized: dense re-index +
+    iterated min-label propagation with pointer jumping (the numpy analog of
+    the distributed hash-min path — no per-edge Python loop).
+    Returns (uids sorted ascending, root id per uid)."""
+    uids, inv = np.unique(np.concatenate([ids_a, ids_b]),
+                          return_inverse=True)
+    ea, eb = inv[:len(ids_a)], inv[len(ids_a):]
+    labels = np.arange(len(uids), dtype=np.int64)
+    while True:
+        m = np.minimum(labels[ea], labels[eb])
+        new = labels.copy()
+        np.minimum.at(new, ea, m)
+        np.minimum.at(new, eb, m)
+        while True:                       # pointer jumping to fixpoint
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return uids, uids[labels]
+
+
 def _union_find(ids_a: np.ndarray, ids_b: np.ndarray) -> dict[int, int]:
-    """Driver-side union-find; returns id -> min-id-of-component for every id
-    appearing in an edge."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:       # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(ids_a.tolist(), ids_b.tolist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    # canonicalize to min id per component
-    out = {}
-    for x in list(parent.keys()) + [i for i in ids_a.tolist() + ids_b.tolist()]:
-        out[x] = find(x)
-    return out
+    """id -> min-id-of-component for every id appearing in an edge (dict view
+    of _cc_arrays; kept for tests/small utilities)."""
+    uids, roots = _cc_arrays(ids_a, ids_b)
+    return dict(zip(uids.tolist(), roots.tolist()))
 
 
-def _cc_driver(edges: ray.data.Dataset) -> dict[int, int]:
+def _cc_driver(edges: ray.data.Dataset):
     batches = [b for b in edges.select_columns(["id_a", "id_b"])
                .iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+    batches = [b for b in batches if b.num_rows]
     if not batches:
-        return {}
+        return None
     tbl = pa.concat_tables(batches, promote_options="default")
-    if tbl.num_rows == 0:
-        return {}
     a = tbl.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
     b = tbl.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
-    return _union_find(a, b)
+    return _cc_arrays(a, b)
 
 
 def _cc_distributed(edges: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
@@ -142,16 +148,21 @@ def connected_components(edges: ray.data.Dataset, all_ids: ray.data.Dataset,
                                 "cluster_id": t.column("id")}),
             batch_format="pyarrow")
     if n_edges <= cfg.cc_driver_edge_limit:
-        mapping = _cc_driver(edges)
+        cc = _cc_driver(edges)
+        uids, roots = cc if cc is not None else (
+            np.empty(0, np.int64), np.empty(0, np.int64))
 
         def assign(t: pa.Table) -> pa.Table:
             ids = t.column("id").to_numpy(zero_copy_only=False)
-            lab = np.array([mapping.get(int(i), int(i)) for i in ids],
-                           dtype=np.int64)
+            lab = ids.astype(np.int64, copy=True)
+            if len(uids):
+                pos = np.clip(np.searchsorted(uids, ids), 0, len(uids) - 1)
+                has = uids[pos] == ids
+                lab = np.where(has, roots[pos], lab)
             return pa.table({"id": t.column("id"),
                              "cluster_id": pa.array(lab, pa.int64())})
 
-        # mapping is broadcast once via closure capture (ray.put under the
+        # arrays are broadcast once via closure capture (ray.put under the
         # hood when the task is shipped); fine while the edge set is small.
         return all_ids.select_columns(["id"]).map_batches(
             assign, batch_format="pyarrow")

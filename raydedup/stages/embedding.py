@@ -41,38 +41,75 @@ def load_embeddings(path: str) -> ray.data.Dataset:
     return ray.data.read_parquet(path, columns=["vec_id", "embedding"])
 
 
+# rows per block in the block-vs-block pair plane: two blocks of this size
+# (float64, D~128) are ~32 MB of task heap; K = ceil(N/this) blocks yield
+# K(K+1)/2 independent tasks.
+PAIR_BLOCK_ROWS = 16384
+
+
+def _block_pair_index(ds: ray.data.Dataset, id_col: str,
+                      target_block_rows: int):
+    """Split the embedding table into K object-store blocks and build the
+    K(K+1)/2 unordered block-pair task index. Returns (refs, idx_ds)."""
+    n = ds.count()
+    k = max(1, -(-n // target_block_rows))
+    prep = ds.select_columns([id_col, "embedding"]).repartition(k) \
+        .materialize()
+    refs = prep.to_arrow_refs()
+    items = [{"bi": i, "bj": j}
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    idx_ds = ray.data.from_items(items, override_num_blocks=len(items))
+    return refs, idx_ds
+
+
 def cosine_pairs(ds: ray.data.Dataset, threshold: float,
-                 id_col: str = "vec_id") -> ray.data.Dataset:
+                 id_col: str = "vec_id",
+                 target_block_rows: int = PAIR_BLOCK_ROWS
+                 ) -> ray.data.Dataset:
     """All (id_a < id_b) pairs with cosine similarity >= threshold.
 
-    The full matrix is broadcast once (ray.put) and every batch computes its
-    block of rows against it — the chunked-row pattern of the reference's fit
-    loop (selfclean_cleaner.py:121-135) distributed over blocks. O(N^2/B) per
-    batch; intended for the small embedding side-table, not the main corpus.
-    """
-    whole = pa.concat_tables(
-        ds.select_columns([id_col, "embedding"])
-        .iter_batches(batch_format="pyarrow", batch_size=1 << 20),
-        promote_options="default")
-    all_ids = whole.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = _normalize(_emb_matrix(whole))
-    ref = ray.put((all_ids, mat))
+    Block-vs-block execution: the table is split into K object-store blocks
+    (zero-copy refs, NEVER collected to the driver) and every unordered
+    block pair (i, j) is one task computing its (rows_i x rows_j) similarity
+    tile — the reference's chunked all-pairs fit loop
+    (selfclean_cleaner.py:121-135) distributed over the tile grid. Peak task
+    memory is two blocks + one tile regardless of N; the emitted pair count
+    (not N^2) is what flows downstream."""
+    refs, idx_ds = _block_pair_index(ds, id_col, target_block_rows)
 
-    def fn(t: pa.Table) -> pa.Table:
-        ids_b, mat_b = ray.get(ref)
-        ids_a = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        m_a = _normalize(_emb_matrix(t))
-        sims = m_a @ mat_b.T                       # (batch, N)
-        ia, ib = np.nonzero(sims >= threshold)
-        keep = ids_a[ia] < ids_b[ib]               # canonical + no self-pairs
-        ia, ib = ia[keep], ib[keep]
-        return pa.table({
-            "id_a": pa.array(ids_a[ia], pa.int64()),
-            "id_b": pa.array(ids_b[ib], pa.int64()),
-            "cosine_sim": pa.array(np.round(sims[ia, ib], 9), pa.float64()),
-        })
+    def tile(t: pa.Table) -> pa.Table:
+        outs = []
+        for bi, bj in zip(t.column("bi").to_pylist(),
+                          t.column("bj").to_pylist()):
+            ta = ray.get(refs[bi])
+            tb = ta if bj == bi else ray.get(refs[bj])
+            ids_a = ta.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ids_b = tb.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            m_a = _normalize(_emb_matrix(ta))
+            m_b = m_a if bj == bi else _normalize(_emb_matrix(tb))
+            sims = m_a @ m_b.T
+            ia, ib = np.nonzero(sims >= threshold)
+            if bi == bj:
+                keep = ia < ib               # upper triangle once
+            else:
+                keep = np.ones(len(ia), dtype=bool)
+            ia, ib = ia[keep], ib[keep]
+            lo = np.minimum(ids_a[ia], ids_b[ib])
+            hi = np.maximum(ids_a[ia], ids_b[ib])
+            outs.append(pa.table({
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "cosine_sim": pa.array(np.round(sims[ia, ib], 9),
+                                       pa.float64()),
+            }))
+        return pa.concat_tables(outs) if outs else pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine_sim": pa.array([], pa.float64())})
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return idx_ds.map_batches(tile, batch_format="pyarrow")
 
 
 def pair_ranking(ds: ray.data.Dataset, id_col: str = "vec_id",
@@ -101,9 +138,175 @@ def pair_ranking(ds: ray.data.Dataset, id_col: str = "vec_id",
         return pa.table({"id_a": t.column("id_a"), "id_b": t.column("id_b"),
                          "distance": pa.array(dist, pa.float64())})
 
-    ranked = pairs.map_batches(to_dist, batch_format="pyarrow") \
-        .sort(["distance", "id_a", "id_b"])
+    ranked = pairs.map_batches(to_dist, batch_format="pyarrow")
+    if limit:
+        # per-batch partial top-k before the global sort: the sort input is
+        # bounded by (#tiles x limit) rows instead of all N^2 pairs
+        def local_topk(t: pa.Table) -> pa.Table:
+            if t.num_rows <= limit:
+                return t
+            d = t.column("distance").to_numpy(zero_copy_only=False)
+            a = t.column("id_a").to_numpy(zero_copy_only=False)
+            b = t.column("id_b").to_numpy(zero_copy_only=False)
+            order = np.lexsort((b, a, d))[:limit]
+            return t.take(pa.array(np.sort(order)))
+
+        ranked = ranked.map_batches(local_topk, batch_format="pyarrow")
+    ranked = ranked.sort(["distance", "id_a", "id_b"])
     return ranked.limit(limit) if limit else ranked
+
+
+def approx_nn_ranking(ds: ray.data.Dataset, k: int = 5,
+                      id_col: str = "vec_id",
+                      target_block_rows: int = PAIR_BLOCK_ROWS
+                      ) -> ray.data.Dataset:
+    """Per-item nearest-neighbor table for EVERY row — the engine analog of
+    the reference's get_approx_near_duplicate_ranking
+    (selfclean/cleaner/near_duplicates/embedding_distance_mixin.py:92-127,
+    AnnoyIndex angular kNN per sample). Output long-form:
+    (seed_idx, rank 1..k-1, nn_idx, nn_dist) with the reference's angular
+    distance sqrt(2*(1-cos)); self (the reference's nn_idx_0 == seed_idx) is
+    implicit. Brute-force recall=1 replaces Annoy's approximation.
+
+    Execution: block-pair tiles emit each row's LOCAL top-(k-1) per tile;
+    the global reduce is one sort by (seed, sim desc, nn) + per-block
+    run-scan taking the first k-1 rows per seed (boundary runs finished on
+    the driver, candidates.run_minima scheme). Rows into the sort: N x
+    n_blocks x (k-1) — linear in N, never N^2."""
+    kk = max(1, k - 1)
+    refs, idx_ds = _block_pair_index(ds, id_col, target_block_rows)
+
+    def local_topk(sims: np.ndarray, ids_rows: np.ndarray,
+                   ids_cols: np.ndarray) -> pa.Table:
+        m = min(kk, sims.shape[1])
+        idx = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+        take = np.take_along_axis(sims, idx, axis=1)
+        return pa.table({
+            "seed_idx": pa.array(np.repeat(ids_rows, m), pa.int64()),
+            "nn_idx": pa.array(ids_cols[idx.ravel()], pa.int64()),
+            "sim": pa.array(take.ravel(), pa.float64()),
+        })
+
+    def tile(t: pa.Table) -> pa.Table:
+        outs = []
+        for bi, bj in zip(t.column("bi").to_pylist(),
+                          t.column("bj").to_pylist()):
+            ta = ray.get(refs[bi])
+            tb = ta if bj == bi else ray.get(refs[bj])
+            ids_a = ta.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ids_b = tb.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            m_a = _normalize(_emb_matrix(ta))
+            m_b = m_a if bj == bi else _normalize(_emb_matrix(tb))
+            sims = m_a @ m_b.T
+            if bi == bj:
+                np.fill_diagonal(sims, -2.0)     # exclude self
+            outs.append(local_topk(sims, ids_a, ids_b))
+            if bi != bj:
+                outs.append(local_topk(sims.T.copy(), ids_b, ids_a))
+        return pa.concat_tables(outs) if outs else pa.table({
+            "seed_idx": pa.array([], pa.int64()),
+            "nn_idx": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64())})
+
+    rows = idx_ds.map_batches(tile, batch_format="pyarrow")
+    srt = rows.sort(["seed_idx", "sim", "nn_idx"],
+                    descending=[False, True, False]).materialize()
+
+    def emit(seed, nn, sim, starts, ends):
+        """First kk rows per run -> ranked output rows."""
+        lens = ends - starts
+        take_n = np.minimum(lens, kk)
+        seg = np.repeat(np.arange(len(starts)), take_n)
+        offs = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(take_n, out=offs[1:])
+        within = np.arange(int(offs[-1]), dtype=np.int64) - offs[seg]
+        rowi = starts[seg] + within
+        dist = np.sqrt(2.0 * (1.0 - np.clip(sim[rowi], -1.0, 1.0)))
+        return pa.table({
+            "seed_idx": pa.array(seed[rowi], pa.int64()),
+            "rank": pa.array(within + 1, pa.int64()),
+            "nn_idx": pa.array(nn[rowi], pa.int64()),
+            "nn_dist": pa.array(np.round(dist, 9), pa.float64()),
+        })
+
+    from raydedup.stages.candidates import DRIVER_SMALL_LIMIT
+    from raydedup.util import collect_up_to
+
+    def _seed_runs(t: pa.Table):
+        k_ = t.column("seed_idx").to_numpy(zero_copy_only=False)
+        if len(k_) == 0:
+            return k_, np.empty(0, np.int64), np.empty(0, np.int64)
+        starts = np.nonzero(np.r_[True, k_[1:] != k_[:-1]])[0]
+        return k_, starts, np.r_[starts[1:], len(k_)]
+
+    def interior(t: pa.Table) -> pa.Table:
+        k_, starts, ends = _seed_runs(t)
+        if len(starts) <= 2:
+            return pa.schema([("seed_idx", pa.int64()),
+                              ("rank", pa.int64()),
+                              ("nn_idx", pa.int64()),
+                              ("nn_dist", pa.float64())]).empty_table()
+        nn = t.column("nn_idx").to_numpy(zero_copy_only=False)
+        sim = t.column("sim").to_numpy(zero_copy_only=False)
+        return emit(k_, nn, sim, starts[1:-1], ends[1:-1])
+
+    def boundary(t: pa.Table) -> pa.Table:
+        k_, starts, ends = _seed_runs(t)
+        if len(starts) == 0:
+            return pa.table({"seed_idx": pa.array([], pa.int64()),
+                             "nn_idx": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        take = np.r_[np.arange(starts[0], ends[0]),
+                     np.arange(starts[-1], ends[-1])] if len(starts) > 1 \
+            else np.arange(starts[0], ends[0])
+        take = np.unique(take)
+        return pa.table({
+            "seed_idx": pa.array(k_[take], pa.int64()),
+            "nn_idx": pa.array(t.column("nn_idx").to_numpy(
+                zero_copy_only=False)[take], pa.int64()),
+            "sim": pa.array(t.column("sim").to_numpy(
+                zero_copy_only=False)[take], pa.float64()),
+        })
+
+    inner = srt.map_batches(interior, batch_format="pyarrow")
+    brows = srt.map_batches(boundary, batch_format="pyarrow")
+    btbl = collect_up_to(brows, DRIVER_SMALL_LIMIT)
+    if btbl is not None and btbl.num_rows and \
+            "seed_idx" in btbl.column_names:
+        order = np.lexsort((
+            btbl.column("nn_idx").to_numpy(zero_copy_only=False),
+            -btbl.column("sim").to_numpy(zero_copy_only=False),
+            btbl.column("seed_idx").to_numpy(zero_copy_only=False)))
+        st = btbl.take(pa.array(order))
+        seed = st.column("seed_idx").to_numpy(zero_copy_only=False)
+        starts = np.nonzero(np.r_[True, seed[1:] != seed[:-1]])[0]
+        ends = np.r_[starts[1:], len(seed)]
+        bout = ray.data.from_arrow(emit(
+            seed, st.column("nn_idx").to_numpy(zero_copy_only=False),
+            st.column("sim").to_numpy(zero_copy_only=False), starts, ends))
+    elif btbl is not None:
+        bout = ray.data.from_arrow(pa.schema(
+            [("seed_idx", pa.int64()), ("rank", pa.int64()),
+             ("nn_idx", pa.int64()), ("nn_dist", pa.float64())])
+            .empty_table())
+    else:
+        def per_group(t: pa.Table) -> pa.Table:
+            order = np.lexsort((
+                t.column("nn_idx").to_numpy(zero_copy_only=False),
+                -t.column("sim").to_numpy(zero_copy_only=False)))
+            st = t.take(pa.array(order))
+            n = st.num_rows
+            return emit(
+                st.column("seed_idx").to_numpy(zero_copy_only=False),
+                st.column("nn_idx").to_numpy(zero_copy_only=False),
+                st.column("sim").to_numpy(zero_copy_only=False),
+                np.array([0]), np.array([n]))
+
+        bout = brows.groupby("seed_idx").map_groups(
+            per_group, batch_format="pyarrow")
+    return inner.union(bout)
 
 
 def ivf_knn_search(ds: ray.data.Dataset, queries: np.ndarray,

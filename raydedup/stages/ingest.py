@@ -23,16 +23,56 @@ def read_code_files(path: str) -> ray.data.Dataset:
     return ray.data.read_parquet(path, columns=INPUT_COLUMNS)
 
 
+def _hash_rows(col: pa.Array, algo) -> list:
+    """Per-row digest hexdigests straight from the Arrow value buffer
+    (UTF-8 bytes — the exact content bytes, no Python string round-trip).
+    Null rows yield None."""
+    import hashlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    off_dtype = "int64" if (pa.types.is_large_string(col.type)
+                            or pa.types.is_large_binary(col.type)) \
+        else "int32"
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    nulls = col.is_null().to_numpy(zero_copy_only=False) \
+        if col.null_count else None
+    out = []
+    for i in range(len(col)):
+        if nulls is not None and nulls[i]:
+            out.append(None)
+        else:
+            out.append(algo(mv[offs[i]:offs[i + 1]]).hexdigest())
+    return out
+
+
 def _ingest_batch(batch: pa.Table) -> pa.Table:
-    repos = batch.column("repo").to_pylist()
-    paths = batch.column("path").to_pylist()
-    commits = batch.column("commit").to_pylist()
-    contents = batch.column("content").to_pylist()
-    ids = K.row_ids(repos, paths, commits)
-    sha = K.sha256_hex(contents)
-    n_bytes = pc.binary_length(pc.cast(batch.column("content"), pa.large_binary()))
+    import hashlib
+
+    content = batch.column("content")
+    sha = _hash_rows(content, hashlib.sha256)
+    n_bytes = pc.binary_length(pc.cast(content, pa.large_binary()))
     out = batch
     if "id" not in out.column_names:
+        # row identity = 63-bit blake2b of repo \x00 path \x00 commit
+        joined = pc.binary_join_element_wise(
+            pc.cast(batch.column("repo"), pa.string()),
+            pc.cast(batch.column("path"), pa.string()),
+            pc.cast(batch.column("commit"), pa.string()), "\x00")
+        jcol = joined.combine_chunks() \
+            if isinstance(joined, pa.ChunkedArray) else joined
+        bufs = jcol.buffers()
+        offs = np.frombuffer(bufs[1], dtype="int32")[
+            jcol.offset: jcol.offset + len(jcol) + 1].astype(np.int64)
+        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        digests = b"".join(
+            hashlib.blake2b(mv[offs[i]:offs[i + 1]], digest_size=8).digest()
+            for i in range(len(jcol)))
+        ids = (np.frombuffer(digests, dtype="<u8") & np.uint64(K.MASK63)) \
+            .astype(np.int64)
         out = out.append_column("id", pa.array(ids, pa.int64()))
     out = out.append_column("content_sha256", pa.array(sha, pa.string()))
     out = out.append_column("n_bytes", pc.cast(n_bytes, pa.int64()))

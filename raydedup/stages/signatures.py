@@ -43,14 +43,10 @@ class SignatureActor:
         sim = K.simhash64(sh, so) if self.with_simhash else \
             np.zeros(len(so) - 1, dtype=np.uint64)
 
-        # unique shingle set per doc (for exact-Jaccard verification)
-        uniq_parts = []
-        uoffs = np.zeros(len(so), dtype=np.int64)
-        for i in range(len(so) - 1):
-            u = np.unique(sh[so[i]:so[i + 1]])
-            uniq_parts.append(u)
-            uoffs[i + 1] = uoffs[i] + len(u)
-        uflat = np.concatenate(uniq_parts) if uniq_parts else np.empty(0, K.U64)
+        # unique shingle set per doc (for exact-Jaccard verification):
+        # ONE batch-wide segmented sort over (doc, shingle) + boundary diff
+        # instead of a per-doc np.unique Python loop.
+        uflat, uoffs = K.segmented_unique(sh, so)
 
         n_shingles = (uoffs[1:] - uoffs[:-1]).astype(np.int64)
         # prepend 0 back: uoffs already has n+1 entries

@@ -6,8 +6,10 @@ operations a large-scale training-data pipeline would need"). Every definition
 that has a SQL oracle is written to match the DuckDB expression in
 __ray_entry__.oracle_sql exactly (names and semantics).
 
-All stages are stateless vectorized map_batches; the language-ID stage is an
-actor-pool class (compiled regex + stopword tables built once per actor).
+All stages are vectorized over Arrow buffers (no per-row Python in the hot
+path; the only per-row work left is the irreducible per-document sha256 call
+in fingerprints, fed from buffer slices). The language-ID stage is an
+actor-pool class whose stopword hash tables are built once per actor.
 """
 
 from __future__ import annotations
@@ -16,9 +18,11 @@ import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
+
+from raydedup import kernels as K
 
 _WS_RE = re.compile(r"\s+")
 _TOKEN_RE = re.compile(r"\S+")
@@ -32,17 +36,66 @@ STOPWORDS = {
     "zh": {"的", "了", "是", "在", "我", "有", "和", "就", "不", "人"},
 }
 
+# ASCII whitespace (mirrors Python str \s for ASCII)
+_WS_MASK = np.zeros(256, dtype=bool)
+for _c in b" \t\n\r\x0b\x0c":
+    _WS_MASK[_c] = True
+
+
+def _string_parts(col):
+    """(Large)String column -> (byte_offsets int64[n+1], data uint8) sliced
+    to the column, or None when the batch contains non-ASCII bytes (callers
+    fall back to the regex path)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    off_dtype = np.int64 if (pa.types.is_large_string(col.type)
+                             or pa.types.is_large_binary(col.type)) \
+        else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    data = data[offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    if len(data) and data.max() >= 128:
+        return None
+    return offs, data
+
 
 def token_counts(ds: ray.data.Dataset, text_col: str = "text",
                  id_col: str = "doc_id") -> ray.data.Dataset:
     """-> (doc_id, n_tokens). n_tokens = number of maximal non-whitespace runs
     (matches `len(regexp_split_to_array(trim(text),'\\s+'))` with empty-string
-    guard in the SQL oracle)."""
+    guard in the SQL oracle).
+
+    Vectorized: run starts are non-whitespace bytes whose predecessor (within
+    the doc) is whitespace; one bincount over the doc index gives the counts.
+    """
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        n = np.fromiter((len(_TOKEN_RE.findall(x or "")) for x in texts),
-                        dtype=np.int64, count=len(texts))
+        col = t.column(text_col)
+        parts = _string_parts(col)
+        if parts is None:                        # non-ASCII: regex fallback
+            texts = col.to_pylist()
+            n = np.fromiter((len(_TOKEN_RE.findall(x or "")) for x in texts),
+                            dtype=np.int64, count=len(texts))
+        else:
+            offs, data = parts
+            ndocs = len(offs) - 1
+            if len(data) == 0:
+                n = np.zeros(ndocs, dtype=np.int64)
+            else:
+                nonws = ~_WS_MASK[data]
+                prev = np.empty_like(nonws)
+                prev[0] = False
+                prev[1:] = nonws[:-1]
+                doc_starts = offs[:-1]
+                doc_starts = doc_starts[doc_starts < len(prev)]
+                prev[doc_starts] = False
+                starts = np.nonzero(nonws & ~prev)[0]
+                doc_of = np.searchsorted(offs, starts, side="right") - 1
+                n = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
         return pa.table({id_col: t.column(id_col),
                          "n_tokens": pa.array(n, pa.int64())})
 
@@ -53,26 +106,29 @@ def quality_scores(ds: ray.data.Dataset, text_col: str = "text",
                    id_col: str = "doc_id") -> ray.data.Dataset:
     """-> (doc_id, n_chars, alpha_chars, digit_chars, ws_chars, alpha_ratio).
 
-    Counts are vectorized pandas str.count with char classes mirroring the SQL
-    regexp_replace-length oracles."""
+    Counts are pyarrow.compute count_substring_regex kernels (RE2, C++)
+    mirroring the SQL regexp_replace-length oracles."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[text_col].fillna("")
-        n = s.str.len().astype("int64")
-        alpha = s.str.count(r"[A-Za-z]").astype("int64")
-        digit = s.str.count(r"[0-9]").astype("int64")
-        ws = s.str.count(r"\s").astype("int64")
-        out = pd.DataFrame({
-            id_col: df[id_col],
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        n = pc.cast(pc.utf8_length(s), pa.int64())
+        alpha = pc.cast(pc.count_substring_regex(s, "[A-Za-z]"), pa.int64())
+        digit = pc.cast(pc.count_substring_regex(s, "[0-9]"), pa.int64())
+        ws = pc.cast(pc.count_substring_regex(s, r"\s"), pa.int64())
+        n_np = n.to_numpy(zero_copy_only=False)
+        a_np = alpha.to_numpy(zero_copy_only=False)
+        ratio = np.where(n_np > 0,
+                         a_np / np.maximum(n_np, 1).astype(np.float64), 0.0)
+        return pa.table({
+            id_col: t.column(id_col),
             "n_chars": n,
             "alpha_chars": alpha,
             "digit_chars": digit,
             "ws_chars": ws,
-            "alpha_ratio": np.where(n > 0, alpha / n.clip(lower=1), 0.0),
+            "alpha_ratio": pa.array(ratio, pa.float64()),
         })
-        return out
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
@@ -80,53 +136,94 @@ def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
     """-> (doc_id, fingerprint). fingerprint = sha256 hex of the normalized
     text: lowercase, all whitespace runs collapsed to one space, trimmed —
     identical to the SQL
-    sha256(trim(regexp_replace(lower(text),'\\s+',' ','g')))."""
+    sha256(trim(regexp_replace(lower(text),'\\s+',' ','g'))).
+
+    Normalization runs as Arrow C++ kernels; the per-row work is only the
+    irreducible sha256 digest, fed zero-copy from the normalized buffer."""
 
     def fn(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        fps = [hashlib.sha256(
-            _WS_RE.sub(" ", (x or "").lower()).strip().encode("utf-8")
-        ).hexdigest() for x in texts]
+        s = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(s), r"\s+", " "))
+        norm = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) \
+            else norm
+        bufs = norm.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32)[
+            norm.offset: norm.offset + len(norm) + 1].astype(np.int64)
+        data = bufs[2] if bufs[2] is not None else b""
+        mv = memoryview(data)
+        fps = [hashlib.sha256(mv[offs[i]:offs[i + 1]]).hexdigest()
+               for i in range(len(norm))]
         return pa.table({id_col: t.column(id_col),
                          "fingerprint": pa.array(fps, pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# ASCII punctuation token hashes: the shared tokenizer emits punctuation
+# chars as their own tokens; lang-id counts only word tokens, so these are
+# filtered by hash value (single-char tokens hash via the 8-byte fast path).
+_PUNCT_CHARS = [chr(c) for c in range(33, 127)
+                if not (chr(c).isalnum() or chr(c) == "_")]
+
+
 class LangIdActor:
-    """Stateful actor: stopword tables + tokenizer compiled once per actor
-    (__init__), scored per batch (__call__). n-gram-free heuristic: predicted
-    language = argmax stopword-hit ratio; 'und' (undetermined) when no
-    stopword hits at all."""
+    """Stateful actor: per-language SORTED stopword token-hash tables built
+    once per actor (__init__); per batch (__call__) the shared vectorized
+    tokenizer produces token hashes and language hits are hash-set
+    membership (searchsorted) + one bincount per language — no per-row
+    Python.
+
+    Heuristic (unchanged semantics): predicted language = argmax
+    stopword-hit ratio over \\w+ tokens of the lowercased text, first
+    language in sorted order winning ties; 'und' when no hits."""
 
     def __init__(self):
-        self.token_re = re.compile(r"\w+", re.UNICODE)
-        self.tables = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
-        self.langs = sorted(self.tables)
+        self.langs = sorted(STOPWORDS)
+        self.tables = {
+            lang: np.sort(np.array(
+                [K._token_hash_cached(w) for w in sorted(ws)],
+                dtype=np.uint64))
+            for lang, ws in STOPWORDS.items()
+        }
+        self.punct = np.sort(np.array(
+            [K._token_hash_cached(c) for c in _PUNCT_CHARS], dtype=np.uint64))
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"].fillna("").str.lower()
-        preds, scores = [], []
-        for x in texts:
-            toks = self.token_re.findall(x)
-            if not toks:
-                preds.append("und"); scores.append(0.0)
-                continue
-            best_lang, best = "und", 0.0
-            for lang in self.langs:
-                tab = self.tables[lang]
-                hits = sum(1 for t in toks if t in tab)
-                r = hits / len(toks)
-                if r > best:
-                    best_lang, best = lang, r
-            preds.append(best_lang); scores.append(best)
-        out = pd.DataFrame({"doc_id": df["doc_id"],
-                            "pred_lang": preds,
-                            "lang_score": scores})
-        return out
+    @staticmethod
+    def _member(vals: np.ndarray, table: np.ndarray) -> np.ndarray:
+        if len(table) == 0 or len(vals) == 0:
+            return np.zeros(len(vals), dtype=bool)
+        pos = np.clip(np.searchsorted(table, vals), 0, len(table) - 1)
+        return table[pos] == vals
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        flat, offs = K.tokenize_hash_arrow(t.column("text"), lowercase=True)
+        counts = (offs[1:] - offs[:-1]).astype(np.int64)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        word = ~self._member(flat, self.punct)
+        ntok = np.bincount(doc_of[word], minlength=n).astype(np.int64)
+        denom = np.maximum(ntok, 1).astype(np.float64)
+
+        best = np.zeros(n, dtype=np.float64)
+        pred_idx = np.full(n, -1, dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            hit = word & self._member(flat, self.tables[lang])
+            hits = np.bincount(doc_of[hit], minlength=n).astype(np.int64)
+            r = hits / denom
+            upd = r > best
+            best = np.where(upd, r, best)
+            pred_idx = np.where(upd, li, pred_idx)
+
+        lang_arr = np.array(self.langs + ["und"])
+        preds = lang_arr[np.where(pred_idx < 0, len(self.langs), pred_idx)]
+        scores = np.where(ntok > 0, best, 0.0)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "pred_lang": pa.array(preds.tolist(), pa.string()),
+                         "lang_score": pa.array(scores, pa.float64())})
 
 
 def lang_id(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
-    return ds.map_batches(LangIdActor, batch_format="pandas",
+    return ds.map_batches(LangIdActor, batch_format="pyarrow",
                           batch_size=2048, concurrency=(1, concurrency),
                           num_cpus=1)

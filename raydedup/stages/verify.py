@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from raydedup.config import EngineConfig
-from raydedup.util import hash_join, unpack_u64_2d, unpack_u64_rows
+from raydedup.util import hash_join, unpack_u64_2d
 
 
 def _score_batch(cfg: EngineConfig):
@@ -48,18 +48,15 @@ def _score_batch(cfg: EngineConfig):
             # _broadcast_verify.score for the bound)
             need = est >= min(thr - band, 0.2)
             if need.any():
-                sh_a = unpack_u64_rows(batch.column("shingles_a"))
-                sh_b = unpack_u64_rows(batch.column("shingles_b"))
-                for i in np.nonzero(need)[0]:
-                    a, b = sh_a[i], sh_b[i]
-                    if len(a) == 0 and len(b) == 0:
-                        jac[i] = 1.0
-                        cont[i] = 1.0
-                        continue
-                    inter = len(np.intersect1d(a, b, assume_unique=True))
-                    jac[i] = inter / (len(a) + len(b) - inter)
-                    m = min(len(a), len(b))
-                    cont[i] = inter / m if m else 0.0
+                from raydedup import kernels as K
+                from raydedup.util import unpack_u64_flat
+                flat_a, offs_a = unpack_u64_flat(batch.column("shingles_a"))
+                flat_b, offs_b = unpack_u64_flat(batch.column("shingles_b"))
+                # one ragged array: rows 0..n-1 = A sets, n..2n-1 = B sets
+                flat = np.concatenate([flat_a, flat_b])
+                offs = np.concatenate([offs_a, offs_a[-1] + offs_b[1:]])
+                sel = np.nonzero(need)[0]
+                _apply_exact(jac, cont, sel, flat, offs, sel, n + sel, K)
         dist = np.clip(1.0 - jac, 0.0, 1.0)
         is_dup = jac >= thr
         is_sub = (~is_dup) & (cthr > 0) & (cont >= cthr)
@@ -78,6 +75,24 @@ def _score_batch(cfg: EngineConfig):
     return fn
 
 
+def _apply_exact(jac: np.ndarray, cont: np.ndarray, sel: np.ndarray,
+                 flat: np.ndarray, offs: np.ndarray,
+                 rows_a: np.ndarray, rows_b: np.ndarray, K) -> None:
+    """Overwrite jac/cont at positions `sel` with exact shingle-set Jaccard /
+    containment, computed batch-wide (one lexsort, no per-pair Python)."""
+    inter = K.segmented_intersection_sizes(flat, offs, rows_a, rows_b) \
+        .astype(np.float64)
+    la = (offs[rows_a + 1] - offs[rows_a]).astype(np.int64)
+    lb = (offs[rows_b + 1] - offs[rows_b]).astype(np.int64)
+    union = (la + lb).astype(np.float64) - inter
+    both_empty = (la + lb) == 0
+    jac[sel] = np.where(both_empty, 1.0,
+                        inter / np.maximum(union, 1.0))
+    m = np.minimum(la, lb).astype(np.float64)
+    cont[sel] = np.where(both_empty, 1.0,
+                         np.where(m > 0, inter / np.maximum(m, 1.0), 0.0))
+
+
 VERIFIED_FIELDS = [
     ("id_a", pa.int64()), ("id_b", pa.int64()),
     ("est_jaccard", pa.float64()), ("jaccard", pa.float64()),
@@ -88,6 +103,16 @@ VERIFIED_FIELDS = [
 
 def empty_verified() -> ray.data.Dataset:
     return ray.data.from_arrow(pa.schema(VERIFIED_FIELDS).empty_table())
+
+
+def distance_pairs(verified: ray.data.Dataset) -> ray.data.Dataset:
+    """Verified pairs restricted to true distance-metric rows (exact +
+    near_dup); substring/containment matches live above the distance
+    threshold and are excluded from CC / duplicity / label-error minima."""
+    return verified.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("match_kind"),
+                                        pa.scalar("substring"))),
+        batch_format="pyarrow")
 
 
 def _collect_ids(ds: ray.data.Dataset, col: str) -> np.ndarray:
@@ -155,17 +180,11 @@ def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
             # bounds containment candidates from below by thr_c * m/M; cheap
             # blanket rule: always exact-check pairs with est >= small floor.
             need = est >= min(thr - band, 0.2)
-            for i in np.nonzero(need)[0]:
-                a = bflat[boffs[ia[i]]:boffs[ia[i] + 1]]
-                b = bflat[boffs[ib[i]]:boffs[ib[i] + 1]]
-                if len(a) == 0 and len(b) == 0:
-                    jac[i] = 1.0
-                    cont[i] = 1.0
-                    continue
-                inter = len(np.intersect1d(a, b, assume_unique=True))
-                jac[i] = inter / (len(a) + len(b) - inter)
-                m = min(len(a), len(b))
-                cont[i] = inter / m if m else 0.0
+            if need.any():
+                from raydedup import kernels as K
+                sel = np.nonzero(need)[0]
+                _apply_exact(jac, cont, sel, bflat, boffs,
+                             ia[sel], ib[sel], K)
         dist = np.clip(1.0 - jac, 0.0, 1.0)
         is_dup = jac >= thr
         is_sub = (~is_dup) & (cthr > 0) & (cont >= cthr)
@@ -185,6 +204,21 @@ def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     return pairs.map_batches(score, batch_format="pyarrow")
 
 
+def _broadcast_bytes_ok(n_pairs: int, sigs: ray.data.Dataset,
+                        cfg: EngineConfig) -> bool:
+    """Gate the broadcast-verify path on ESTIMATED payload bytes, not just
+    pair count: at the id-count limit the collected minhash+shingle subset
+    could be tens of GB of driver memory. Estimate = distinct-id upper bound
+    (2 * n_pairs) x (mean shingles * 8 + signature bytes + overhead); falls
+    back to the join path when it exceeds cfg.broadcast_byte_limit."""
+    try:
+        mean_sh = sigs.mean("n_shingles") or 0.0
+    except Exception:
+        return True                    # no stats: keep the fast path
+    per_row = 8.0 * mean_sh + 8.0 * cfg.minhash.num_perm + 32.0
+    return 2.0 * n_pairs * per_row <= cfg.broadcast_byte_limit
+
+
 def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                  cfg: EngineConfig) -> ray.data.Dataset:
     """Candidate pairs + signatures -> verified pair Dataset
@@ -198,7 +232,8 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         # empty groupby outputs lose their schema in Ray Data and break the
         # downstream hash join — short-circuit with a typed empty Dataset
         return empty_verified()
-    if 2 * n <= cfg.broadcast_id_limit:
+    if 2 * n <= cfg.broadcast_id_limit and \
+            _broadcast_bytes_ok(n, sigs, cfg):
         return _broadcast_verify(pairs, sigs, cfg)
     proj = sigs.select_columns(["id", "minhash", "shingles"])
     j1 = hash_join(pairs, proj, on="id_a", right_on="id",

@@ -46,6 +46,38 @@ def test_single_linkage_merge_order_matches_chain():
     assert dists == [1.0, 2.0, 4.0]
 
 
+def test_value_parity_three_leaves():
+    """Hand-computed reference geometry (lad_scoring.py:28-331) for a
+    3-leaf chain: merges (0,1)@0.2 then (+2)@0.8; root swaps so leaf 2
+    (smaller subtree) goes left. Rectangles:
+      root: 1.0*(1.0-0.8)=0.2 ; leaf2 [0,1/3]: (1/3)*0.8 ;
+      node(0,1) [1/3,2/3]: (1/3)*(0.8-0.2) ; leaf0 [1/3,1/2]: (1/6)*0.2 ;
+      leaf1 zero-width at 1/2 (equal-size split shrinks the right child).
+    """
+    d = np.array([[0.0, 0.2, 1.0],
+                  [0.2, 0.0, 0.8],
+                  [1.0, 0.8, 0.0]])
+    scores, order = lad_ranking(d)
+    assert order.tolist() == [2, 0, 1]
+    np.testing.assert_allclose(
+        scores, [0.2 + 0.8 / 3, 0.7, 0.7], rtol=0, atol=1e-12)
+
+
+def test_value_parity_whitespace_backfill():
+    """4 leaves, two tight pairs: the right pair subtree starts at x=0.5
+    while the left pair's last leaf ended at x=0.25 — the white-space
+    back-fill (lad_scoring.py:210-290) adds (0.5-0.25)*0.2 = 0.05 exactly.
+    Hand-computed cumulative scores: 0.5, 0.5, 0.55, 0.55."""
+    d = np.full((4, 4), 0.9)
+    np.fill_diagonal(d, 0.0)
+    d[0, 1] = d[1, 0] = 0.2
+    d[2, 3] = d[3, 2] = 0.3
+    scores, order = lad_ranking(d)
+    assert order.tolist() == [0, 1, 2, 3]
+    np.testing.assert_allclose(
+        scores, [0.5, 0.5, 0.55, 0.55], rtol=0, atol=1e-12)
+
+
 def test_scores_nonnegative_and_sized():
     rng = np.random.default_rng(2)
     d = _dist_from_points(rng.normal(size=(25, 5)))

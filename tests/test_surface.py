@@ -71,18 +71,23 @@ def test_metadata_export(tiny_result, tiny_corpus):
     assert lookup[row.id_b] == row.path_b
 
 
-def test_threshold_sensitivity_monotone():
-    """More permissive alpha never flags fewer scores (sweep parity with
-    auto_cleaning_mixin.py:156-217's 17 log-spaced thresholds)."""
-    from raydedup.stages.autoclean import threshold_sensitivity
+def test_sensitivity_sweeps_monotone():
+    """More permissive alpha (resp. larger q) never flags fewer scores —
+    sweep parity with auto_cleaning_mixin.py:156-217's 17 log-spaced
+    values for BOTH reference sweeps (q at fixed alpha=0.1; alpha at
+    fixed q)."""
+    from raydedup.stages.autoclean import (alpha_sensitivity,
+                                           threshold_sensitivity)
     rng = np.random.default_rng(3)
     scores = 1 / (1 + np.exp(-np.concatenate([
         rng.normal(1.0, 1.0, 900), rng.normal(-7.0, 0.5, 100)])))
-    sweep = threshold_sensitivity(scores, 1000)
-    assert len(sweep) == 17
-    flagged = [s["n_flagged"] for s in sweep]
-    assert flagged == sorted(flagged)
-    assert flagged[-1] > 0
+    for sweep, key in ((alpha_sensitivity(scores, 1000), "alpha"),
+                       (threshold_sensitivity(scores, 1000), "q")):
+        assert len(sweep) == 17
+        assert all(key in s for s in sweep)
+        flagged = [s["n_flagged"] for s in sweep]
+        assert flagged == sorted(flagged)
+        assert flagged[-1] > 0
 
 
 def test_ivf_knn_recalls_bruteforce():
