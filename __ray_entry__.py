@@ -248,7 +248,20 @@ def _q_tumbling_window(sf_dir: str):
     from raydedup.stages.windows import tumbling_window
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["ts", "event_type", "value"])
-    return tumbling_window(ev, width_s=3600)
+    out = tumbling_window(ev, width_s=3600)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        # float sums are rounded on both sides: Ray's Sum/Mean aggregate
+        # adds in a different order than DuckDB's sum (drift ~1e-13)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "window_start_s": t.column("window_start_s"),
+            "n_events": t.column("n_events"),
+            "sum_value": _round6(t.column("sum_value")),
+            "avg_value": _round6(t.column("avg_value")),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
 
 
 def _q_session_windows(sf_dir: str):
@@ -496,9 +509,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(
+                   floor(list_cosine_similarity(
                        CAST(a.embedding AS DOUBLE[]),
-                       CAST(b.embedding AS DOUBLE[])), 9) AS cosine_sim
+                       CAST(b.embedding AS DOUBLE[])) * 1e9 + 0.5) / 1e9
+                       AS cosine_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
@@ -553,8 +567,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
                        AS window_start_s,
                    count(*) AS n_events,
-                   sum(value) AS sum_value,
-                   avg(value) AS avg_value
+                   floor(sum(value) * 1e6 + 0.5) / 1e6 AS sum_value,
+                   floor(avg(value) * 1e6 + 0.5) / 1e6 AS avg_value
             FROM events GROUP BY 1, 2
         """,
         "session_windows": """
@@ -578,12 +592,22 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sess
         """,
         "embedding_pair_ranking": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(least(greatest(
-                       1.0 - (list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                              CAST(b.embedding AS DOUBLE[]))
-                              + 1.0) / 2.0, 0.0), 1.0), 9) AS distance
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            -- mirrors the engine's two-stage rounding exactly: sim is
+            -- floor-rounded to 9 digits (cosine_pairs), clipped to [-1,1],
+            -- mapped to d = clip(1-(sim+1)/2), then floor-rounded again
+            WITH sr AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     least(greatest(
+                         floor(list_cosine_similarity(
+                             CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) * 1e9 + 0.5)
+                             / 1e9, -1.0), 1.0) AS s
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b,
+                   floor(least(greatest(1.0 - (s + 1.0) / 2.0, 0.0), 1.0)
+                         * 1e9 + 0.5) / 1e9 AS distance
+            FROM sr
             ORDER BY distance ASC, id_a ASC, id_b ASC
             LIMIT 500
         """,
@@ -602,8 +626,8 @@ def oracle_sql() -> dict[str, str]:
               FROM sims
             )
             SELECT seed_idx, rank, nn_idx,
-                   round(sqrt(2.0 * (1.0 - least(greatest(sim, -1.0), 1.0))),
-                         9) AS nn_dist
+                   floor(sqrt(2.0 * (1.0 - least(greatest(sim, -1.0), 1.0)))
+                         * 1e9 + 0.5) / 1e9 AS nn_dist
             FROM ranked WHERE rank <= 4
         """,
         "lang_id": _lang_id_sql(),

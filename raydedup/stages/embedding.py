@@ -37,6 +37,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _round9(x: np.ndarray) -> np.ndarray:
+    """floor(x*1e9 + 0.5)/1e9 — bitwise-identical to the SQL oracles'
+    floor-based rounding (np.round is half-even, DuckDB round is half-away;
+    this formula is the same IEEE ops on both sides)."""
+    return np.floor(x * 1e9 + 0.5) / 1e9
+
+
 def load_embeddings(path: str) -> ray.data.Dataset:
     return ray.data.read_parquet(path, columns=["vec_id", "embedding"])
 
@@ -101,7 +108,7 @@ def cosine_pairs(ds: ray.data.Dataset, threshold: float,
             outs.append(pa.table({
                 "id_a": pa.array(lo, pa.int64()),
                 "id_b": pa.array(hi, pa.int64()),
-                "cosine_sim": pa.array(np.round(sims[ia, ib], 9),
+                "cosine_sim": pa.array(_round9(sims[ia, ib]),
                                        pa.float64()),
             }))
         return pa.concat_tables(outs) if outs else pa.table({
@@ -134,7 +141,7 @@ def pair_ranking(ds: ray.data.Dataset, id_col: str = "vec_id",
         # kernels operate on dot products of unit vectors: feed (n,1)x(1,1)
         # identity trick — sim already IS the dot product
         dot = np.clip(sim, -1.0, 1.0).reshape(-1, 1)
-        dist = np.round(kernel(dot, np.ones((1, 1))), 9).ravel()
+        dist = _round9(kernel(dot, np.ones((1, 1)))).ravel()
         return pa.table({"id_a": t.column("id_a"), "id_b": t.column("id_b"),
                          "distance": pa.array(dist, pa.float64())})
 
@@ -228,7 +235,7 @@ def approx_nn_ranking(ds: ray.data.Dataset, k: int = 5,
             "seed_idx": pa.array(seed[rowi], pa.int64()),
             "rank": pa.array(within + 1, pa.int64()),
             "nn_idx": pa.array(nn[rowi], pa.int64()),
-            "nn_dist": pa.array(np.round(dist, 9), pa.float64()),
+            "nn_dist": pa.array(_round9(dist), pa.float64()),
         })
 
     from raydedup.stages.candidates import DRIVER_SMALL_LIMIT
