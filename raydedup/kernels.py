@@ -196,13 +196,20 @@ def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
     ends = np.where(is_punct, tpos + 1, ends)
     lens = ends - tpos
 
-    val = np.zeros(len(tpos), dtype=U64)
     with np.errstate(over="ignore"):
-        for j in range(8):
-            m = lens > j
-            idx = np.minimum(tpos + j, len(data) - 1)
-            val |= np.where(m, data[idx].astype(np.uint64), U64(0)) \
-                << U64(8 * j)
+        # first-8-bytes little-endian pack in ONE unaligned u64 gather +
+        # length mask (replaces an 8-iteration byte-gather loop): pad the
+        # byte buffer, view it at stride 1 as u64, mask bytes past the
+        # token end ((1 << 64) wraps to 0 so the -1 yields all-ones for
+        # full 8-byte tokens).
+        padded = np.empty(len(data) + 8, dtype=np.uint8)
+        padded[:len(data)] = data
+        padded[len(data):] = 0
+        u64v = np.ndarray(shape=(len(data) + 1,), dtype="<u8",
+                          buffer=padded, strides=(1,))
+        nb = np.minimum(lens, 8).astype(np.uint64)
+        mask = (U64(1) << (U64(8) * nb)) - U64(1)
+        val = u64v[tpos] & mask
         # long tokens (rare): continue per the spec on the active subset
         maxlen = int(lens.max())
         j = 8
@@ -292,6 +299,18 @@ def shingle_hashes(flat_hashes: np.ndarray, doc_offsets: np.ndarray, k: int):
     win_start = starts[doc_idx] + within
 
     P = U64(0x100000001B3)  # FNV-ish odd multiplier for the poly roll
+    T = len(flat_hashes)
+    if not short.any() and T >= k:
+        # fast path (the common case: no sub-k docs in the batch): roll the
+        # poly hash over EVERY position of the flat token array with
+        # CONTIGUOUS slices (no per-window gather), then select the valid
+        # window starts per doc with one gather at the end.
+        with np.errstate(over="ignore"):
+            acc_all = np.zeros(T - k + 1, dtype=U64)
+            for j in range(k):
+                acc_all = acc_all * P + flat_hashes[j: T - k + 1 + j]
+        out[:] = splitmix64(acc_all[win_start])
+        return out, sh_offsets
     with np.errstate(over="ignore"):
         acc = np.zeros(S, dtype=U64)
         # full windows: k terms; short docs handled after

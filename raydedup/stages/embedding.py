@@ -322,18 +322,30 @@ def ivf_knn_search(ds: ray.data.Dataset, queries: np.ndarray,
                    id_col: str = "vec_id") -> ray.data.Dataset:
     """IVF-bucketed approximate kNN — the scale path beside brute force.
 
-    Coarse quantizer: n_cells random-unit-vector centroids (seeded; a k-means
-    refinement slots in here unchanged). Index build: one pass assigns each
-    row to its nearest centroid (argmax dot). Query: score only rows whose
-    cell is among the query's n_probe closest centroids — the per-batch mask
-    replaces a per-cell shuffle, so the whole search stays one map_batches +
-    one small groupby(query) reduction, same shape as brute force but
-    touching ~n_probe/n_cells of the dot products.
+    Coarse quantizer: seeded random-unit init REFINED with a few spherical
+    k-means (Lloyd) iterations over a deterministic driver-side sample —
+    data-driven cells concentrate probes where the mass is, so recall at a
+    fixed n_probe improves over the random-plane cells. Index build: one
+    pass assigns each row to its nearest centroid (argmax dot). Query: score
+    only rows whose cell is among the query's n_probe closest centroids —
+    the per-batch mask replaces a per-cell shuffle, so the whole search
+    stays one map_batches + one small groupby(query) reduction, same shape
+    as brute force but touching ~n_probe/n_cells of the dot products.
     """
     rng = np.random.default_rng(seed)
-    first = next(iter(ds.iter_batches(batch_format="pyarrow", batch_size=1)))
-    dim = len(first.column("embedding")[0])
+    sample_tbl = pa.concat_tables(
+        ds.select_columns(["embedding"]).limit(8192)
+        .iter_batches(batch_format="pyarrow", batch_size=8192))
+    smat = _normalize(_emb_matrix(sample_tbl))
+    dim = smat.shape[1]
     cents = _normalize(rng.standard_normal((n_cells, dim)))
+    for _ in range(5):                       # spherical Lloyd refinement
+        assign = np.argmax(smat @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = smat[assign == c]
+            if len(members):
+                cents[c] = members.sum(axis=0)
+        cents = _normalize(cents)
     qn = _normalize(queries.astype(np.float64))
     q_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]   # (Q, n_probe)
     qref = ray.put((query_ids.astype(np.int64), qn, cents, q_cells))
