@@ -11,12 +11,15 @@ log = logging.getLogger("raydedup")
 
 
 def pack_u64_2d(values_2d: np.ndarray) -> pa.Array:
-    """(n, w) uint64 -> fixed-stride binary column (w*8 bytes per row)."""
+    """(n, w) uint64 -> fixed-stride binary column (w*8 bytes per row),
+    built zero-copy-ish via Array.from_buffers (no per-row Python)."""
     n, w = values_2d.shape
-    byts = np.ascontiguousarray(values_2d, dtype="<u8").tobytes()
     stride = w * 8
-    return pa.array([byts[i * stride:(i + 1) * stride] for i in range(n)],
-                    pa.binary())
+    data = pa.py_buffer(np.ascontiguousarray(values_2d, dtype="<u8")
+                        .tobytes())
+    offs = pa.py_buffer(
+        (np.arange(n + 1, dtype=np.int32) * stride).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offs, data])
 
 
 def _binary_parts(col) -> tuple[np.ndarray, np.ndarray]:
@@ -65,11 +68,13 @@ def unpack_u64_flat(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def pack_u64_ragged(flat: np.ndarray, offsets: np.ndarray) -> pa.Array:
-    """ragged uint64 runs -> large_binary column (8 bytes per element)."""
-    byts = np.ascontiguousarray(flat, dtype="<u8").tobytes()
-    out = [byts[offsets[i] * 8: offsets[i + 1] * 8]
-           for i in range(len(offsets) - 1)]
-    return pa.array(out, pa.large_binary())
+    """ragged uint64 runs -> large_binary column (8 bytes per element),
+    built zero-copy-ish via Array.from_buffers (no per-row Python)."""
+    data = pa.py_buffer(np.ascontiguousarray(flat, dtype="<u8").tobytes())
+    offs = pa.py_buffer(
+        (np.asarray(offsets, dtype=np.int64) * 8).tobytes())
+    return pa.Array.from_buffers(pa.large_binary(), len(offsets) - 1,
+                                 [None, offs, data])
 
 
 def unpack_u64_rows(col) -> list[np.ndarray]:
