@@ -53,23 +53,92 @@ def session_windows(events: ray.data.Dataset, gap_s: int,
     """-> (key, session_start, session_end, n_events).
 
     A session breaks when the gap to the previous event of the same key
-    exceeds gap_s. Per-key map_groups sorts by ts then splits at gaps —
-    per-group pandas is fine here: group count == distinct keys, and the
-    windowing itself is O(events-per-key)."""
+    exceeds gap_s. Execution: ONE global sort by (key, ts) + vectorized
+    gap-splitting per sorted block — no per-key Python/pandas (a hot key
+    would make a map_groups variant unbounded). A key's run can straddle
+    blocks, so each block's first and last key-runs are finished in a small
+    second pass (driver re-scan; candidates.run_minima boundary scheme)."""
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("int64").to_numpy() // 1_000_000  # epoch s
-        breaks = np.r_[True, np.diff(ts) > gap_s]
-        sess = np.cumsum(breaks) - 1
-        starts = np.nonzero(breaks)[0]
-        ends = np.r_[starts[1:], len(ts)]
-        return pd.DataFrame({
-            key: np.repeat(g[key].iloc[0], len(starts)),
-            "session_start": ts[starts],
-            "session_end": ts[ends - 1],
-            "n_events": (ends - starts).astype(np.int64),
+    def to_secs(t: pa.Table) -> pa.Table:
+        ts_us = t.column(ts_col).cast(pa.int64())
+        return pa.table({
+            key: t.column(key),
+            "_ts_s": pc.divide(ts_us, pa.scalar(1_000_000, pa.int64())),
         })
 
-    return events.select_columns([key, ts_col]).groupby(key) \
-        .map_groups(sessionize, batch_format="pandas")
+    srt = events.select_columns([key, ts_col]) \
+        .map_batches(to_secs, batch_format="pyarrow") \
+        .sort([key, "_ts_s"]).materialize()
+
+    def _runs_of(t: pa.Table):
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        ts = t.column("_ts_s").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return k, ts, np.empty(0, np.int64), np.empty(0, np.int64)
+        starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        return k, ts, starts, np.r_[starts[1:], len(k)]
+
+    def interior(t: pa.Table) -> pa.Table:
+        k, ts, starts, ends = _runs_of(t)
+        if len(starts) <= 2:
+            return _sessionize_wrapped(np.empty(0, np.int64),
+                                       np.empty(0, np.int64), gap_s, key)
+        lo, hi = starts[1], ends[-2]
+        return _sessionize_wrapped(k[lo:hi], ts[lo:hi], gap_s, key)
+
+    def boundary(t: pa.Table) -> pa.Table:
+        k, ts, starts, ends = _runs_of(t)
+        if len(starts) == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "_ts_s": pa.array([], pa.int64())})
+        take = np.r_[np.arange(starts[0], ends[0]),
+                     np.arange(starts[-1], ends[-1])] if len(starts) > 1 \
+            else np.arange(starts[0], ends[0])
+        take = np.unique(take)
+        return pa.table({key: pa.array(k[take]),
+                         "_ts_s": pa.array(ts[take], pa.int64())})
+
+    inner = srt.map_batches(interior, batch_format="pyarrow")
+    brows = srt.map_batches(boundary, batch_format="pyarrow")
+    from raydedup.stages.candidates import DRIVER_SMALL_LIMIT
+    from raydedup.util import collect_up_to
+    btbl = collect_up_to(brows, DRIVER_SMALL_LIMIT)
+    if btbl is not None and btbl.num_rows and key in btbl.column_names:
+        st = btbl.sort_by([(key, "ascending"), ("_ts_s", "ascending")])
+        bout = ray.data.from_arrow(_sessionize_wrapped(
+            st.column(key).to_numpy(zero_copy_only=False),
+            st.column("_ts_s").to_numpy(zero_copy_only=False), gap_s, key))
+    elif btbl is not None:
+        bout = ray.data.from_arrow(_sessionize_wrapped(
+            np.empty(0, np.int64), np.empty(0, np.int64), gap_s, key))
+    else:
+        def per_group(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("_ts_s")
+            out = _sessionize_wrapped(
+                g[key].to_numpy(), g["_ts_s"].to_numpy(), gap_s, key)
+            return out.to_pandas()
+
+        bout = brows.groupby(key).map_groups(per_group,
+                                             batch_format="pandas")
+    return inner.union(bout)
+
+
+def _sessionize_wrapped(uid: np.ndarray, ts: np.ndarray, gap_s: int,
+                        key: str) -> pa.Table:
+    if len(ts) == 0:
+        return pa.table({key: pa.array([], pa.int64()),
+                         "session_start": pa.array([], pa.int64()),
+                         "session_end": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    uid = np.asarray(uid)
+    ts = np.asarray(ts, dtype=np.int64)
+    breaks = np.ones(len(ts), dtype=bool)
+    breaks[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_s)
+    starts = np.nonzero(breaks)[0]
+    ends = np.r_[starts[1:], len(ts)]
+    return pa.table({
+        key: pa.array(uid[starts]),
+        "session_start": pa.array(ts[starts], pa.int64()),
+        "session_end": pa.array(ts[ends - 1], pa.int64()),
+        "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+    })

@@ -360,6 +360,33 @@ def test_partitioned_stage_chunked_kill_resume(tmp_path):
     assert ck._parts_done("s", 4) == {0, 1, 2, 3}
 
 
+# ----------------------------------------------------- session windows
+
+def test_session_windows_forced_distributed_matches(monkeypatch):
+    """Sort+run-scan sessionizer: the forced distributed boundary path
+    (DRIVER_SMALL_LIMIT=0 -> per-key map_groups on boundary runs only)
+    yields the same sessions as the driver path."""
+    import pandas as pd
+
+    from raydedup.stages import candidates as C
+    from raydedup.stages.windows import session_windows
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    ev = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, size=n), pa.int64()),
+        "ts": pa.array((rng.integers(0, 1_000_000, size=n) * 1_000_000)
+                       .astype("int64"), pa.timestamp("us")),
+    })
+    base = session_windows(rd.from_arrow(ev), gap_s=1800).to_pandas() \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    monkeypatch.setattr(C, "DRIVER_SMALL_LIMIT", 0)
+    forced = session_windows(rd.from_arrow(ev), gap_s=1800).to_pandas() \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, forced)
+    assert base.n_events.sum() == n
+
+
 # ------------------------------------------------------------- textstats
 
 def test_token_counts_vectorized_matches_regex():
