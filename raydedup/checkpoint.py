@@ -136,6 +136,51 @@ class CheckpointManager:
                 done.add(i)
         return done
 
+    def _purge_stale_parts(self, stage: str, num_parts: int) -> None:
+        """Remove leftovers a config change can strand: ckpt_part dirs /
+        markers with index >= num_parts (e.g. after reducing ckpt_num_parts
+        on an existing ckpt_dir — the read globs every ckpt_part=* dir, so a
+        stale high-numbered dir would silently duplicate rows into the
+        output) and any stage manifest whose lineage no longer matches (it
+        is rewritten with fresh counts after the parts complete)."""
+        out = self._dir(stage)
+        for entry in os.listdir(out):
+            idx = None
+            if entry.startswith("ckpt_part="):
+                tail = entry.split("=", 1)[1]
+            elif entry.startswith("part=") and entry.endswith(".done.json"):
+                tail = entry[len("part="):-len(".done.json")]
+            else:
+                continue
+            try:
+                idx = int(tail)
+            except ValueError:
+                idx = -1
+            if 0 <= idx < num_parts:
+                continue
+            path = os.path.join(out, entry)
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+        m = self._manifest(stage)
+        if os.path.exists(m):
+            try:
+                with open(m) as f:
+                    meta = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                meta = {}
+            if not (meta.get("cfg_hash") == self.cfg_hash
+                    and meta.get("input_token") == self.input_token
+                    and meta.get("num_parts") == num_parts):
+                try:
+                    os.remove(m)
+                except OSError:
+                    pass
+
     def partitioned_stage(self, name: str,
                           pre: Callable[[], ray.data.Dataset],
                           fn: Callable[[ray.data.Dataset], ray.data.Dataset],
@@ -158,6 +203,7 @@ class CheckpointManager:
         """
         out = self._dir(name)
         os.makedirs(out, exist_ok=True)
+        self._purge_stale_parts(name, num_parts)
         done = self._parts_done(name, num_parts)
         missing = sorted(set(range(num_parts)) - done)
         step = chunk_parts or max(1, len(missing))

@@ -34,6 +34,11 @@ _SPLITMIX_3 = U64(0x94D049BB133111EB)
 # own token; whitespace dropped (so whitespace-collapse is inherent).
 TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 
+# word-only variant (lang-id denominators): punctuation — including
+# non-ASCII punctuation the byte-class fast path never sees — is dropped at
+# the tokenizer, so both paths count exactly the \w+ tokens.
+WORD_RE = re.compile(r"\w+", re.UNICODE)
+
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public domain algorithm)."""
@@ -97,6 +102,11 @@ def normalize_content(text: str, lowercase: bool = False) -> str:
 # byte b: val = splitmix64(val) * POLY + b (mod 2^64); final = splitmix64(val).
 _POLY = U64(0x100000001B3)
 
+# all-ones masks for the first-n-bytes pack (n = 0..8); index 8 is the full
+# 64-bit mask, precomputed in Python ints where 1 << 64 is well-defined
+_PACK_MASKS = np.array([(1 << (8 * i)) - 1 for i in range(9)],
+                       dtype=np.uint64)
+
 # ASCII char classes: 0 = whitespace, 1 = word [0-9A-Za-z_], 2 = punct (own
 # token). Bytes >= 128 never hit the fast path (non-ASCII batch falls back).
 _CLS = np.zeros(256, dtype=np.uint8)
@@ -138,10 +148,11 @@ def _token_hash_cached(tok: str) -> int:
     return _token_hash_bytes(tok.encode("utf-8", "surrogatepass"))
 
 
-def _tokenize_hash_regex(texts, lowercase: bool):
+def _tokenize_hash_regex(texts, lowercase: bool, words_only: bool = False):
     """Fallback path: regex tokenizer + per-token cached hash (same values as
     the vectorized path by construction)."""
-    tok_lists = [TOKEN_RE.findall(normalize_content(t, lowercase))
+    rx = WORD_RE if words_only else TOKEN_RE
+    tok_lists = [rx.findall(normalize_content(t, lowercase))
                  for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                        count=len(tok_lists))
@@ -161,7 +172,7 @@ def _tokenize_hash_regex(texts, lowercase: bool):
 
 
 def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
-                         lowercase: bool):
+                         lowercase: bool, words_only: bool = False):
     """Fully vectorized byte-level tokenizer over concatenated ASCII docs.
 
     byte_offs: int64[n+1] doc boundaries into data (uint8). Token boundaries
@@ -180,7 +191,9 @@ def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
     starts_docs = byte_offs[:-1]
     starts_docs = starts_docs[starts_docs < len(cls)]
     prev[starts_docs] = 0
-    tok_start = ((cls == 1) & (prev != 1)) | (cls == 2)
+    tok_start = (cls == 1) & (prev != 1)
+    if not words_only:
+        tok_start |= cls == 2
     tpos = np.nonzero(tok_start)[0]
     if len(tpos) == 0:
         return np.empty(0, dtype=U64), np.zeros(n + 1, dtype=np.int64)
@@ -200,15 +213,15 @@ def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
         # first-8-bytes little-endian pack in ONE unaligned u64 gather +
         # length mask (replaces an 8-iteration byte-gather loop): pad the
         # byte buffer, view it at stride 1 as u64, mask bytes past the
-        # token end ((1 << 64) wraps to 0 so the -1 yields all-ones for
-        # full 8-byte tokens).
+        # token end. The mask comes from a 9-entry lookup table — a
+        # computed (1 << 64) shift-by-width is undefined in C/NumPy and
+        # platform-dependent, so never shift by the full word width.
         padded = np.empty(len(data) + 8, dtype=np.uint8)
         padded[:len(data)] = data
         padded[len(data):] = 0
         u64v = np.ndarray(shape=(len(data) + 1,), dtype="<u8",
                           buffer=padded, strides=(1,))
-        nb = np.minimum(lens, 8).astype(np.uint64)
-        mask = (U64(1) << (U64(8) * nb)) - U64(1)
+        mask = _PACK_MASKS[np.minimum(lens, 8)]
         val = u64v[tpos] & mask
         # long tokens (rare): continue per the spec on the active subset
         maxlen = int(lens.max())
@@ -229,7 +242,8 @@ def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
     return flat, offsets
 
 
-def tokenize_hash_batch(texts, lowercase: bool = False):
+def tokenize_hash_batch(texts, lowercase: bool = False,
+                        words_only: bool = False):
     """Tokenize a batch of documents and map tokens to stable uint64 hashes.
 
     Returns (flat_hashes uint64[T], doc_offsets int64[n+1]) where
@@ -242,15 +256,16 @@ def tokenize_hash_batch(texts, lowercase: bool = False):
     try:
         encoded = [("" if t is None else t).encode("ascii") for t in texts]
     except UnicodeEncodeError:
-        return _tokenize_hash_regex(texts, lowercase)
+        return _tokenize_hash_regex(texts, lowercase, words_only)
     lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
     byte_offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=byte_offs[1:])
     data = np.frombuffer(b"".join(encoded), dtype=np.uint8)
-    return _tokenize_hash_ascii(byte_offs, data, lowercase)
+    return _tokenize_hash_ascii(byte_offs, data, lowercase, words_only)
 
 
-def tokenize_hash_arrow(col, lowercase: bool = False):
+def tokenize_hash_arrow(col, lowercase: bool = False,
+                        words_only: bool = False):
     """Zero-copy variant: (large_)string column -> (flat_hashes, doc_offsets)
     straight from the Arrow buffers when the batch is pure ASCII."""
     import pyarrow as pa
@@ -265,8 +280,8 @@ def tokenize_hash_arrow(col, lowercase: bool = False):
     data = data[offs[0]:offs[-1]]
     offs = offs - offs[0]
     if len(data) and data.max() >= 128:
-        return _tokenize_hash_regex(col.to_pylist(), lowercase)
-    return _tokenize_hash_ascii(offs, data, lowercase)
+        return _tokenize_hash_regex(col.to_pylist(), lowercase, words_only)
+    return _tokenize_hash_ascii(offs, data, lowercase, words_only)
 
 
 def shingle_hashes(flat_hashes: np.ndarray, doc_offsets: np.ndarray, k: int):

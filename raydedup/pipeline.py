@@ -106,14 +106,29 @@ def run_pipeline(code_files: ray.data.Dataset,
         from raydedup.checkpoint import CheckpointManager, config_hash
         os.makedirs(ckpt_dir, exist_ok=True)
         # input fingerprint: changed data at the same path must NOT silently
-        # reuse stale checkpoints — the row count (parquet metadata, cheap)
-        # is folded into the lineage token alongside the caller's path token
+        # reuse stale checkpoints. Row count alone is not enough (edited
+        # data can keep the count) — fold the source files' names, sizes
+        # and mtimes (cheap stats, no data scan) into the lineage token;
+        # in-memory inputs fall back to the row count.
+        import hashlib as _hashlib
         try:
-            _fp = code_files.count()
+            _fp = f"rows={code_files.count()}"
+            _files = sorted(code_files.input_files() or [])
+            if _files:
+                _meta = []
+                for _p in _files:
+                    try:
+                        _st = os.stat(_p)
+                        _meta.append(f"{_p}:{_st.st_size}:"
+                                     f"{int(_st.st_mtime_ns)}")
+                    except OSError:
+                        _meta.append(_p)
+                _fp += "#files=" + _hashlib.sha256(
+                    ";".join(_meta).encode()).hexdigest()[:16]
         except Exception:
             _fp = "unknown"
         ckpt = CheckpointManager(root=ckpt_dir, cfg_hash=config_hash(cfg),
-                                 input_token=f"{input_token}#rows={_fp}")
+                                 input_token=f"{input_token}#{_fp}")
 
     import os
     import time as _time

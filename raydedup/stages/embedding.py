@@ -185,8 +185,13 @@ def approx_nn_ranking(ds: ray.data.Dataset, k: int = 5,
 
     def local_topk(sims: np.ndarray, ids_rows: np.ndarray,
                    ids_cols: np.ndarray) -> pa.Table:
+        # per-row top-m under the SAME (sim desc, nn_idx asc) order the
+        # global reduce uses — argpartition alone drops arbitrary tied
+        # candidates before the global sort (duplicate embeddings make tied
+        # sims the common case in a dedup corpus)
         m = min(kk, sims.shape[1])
-        idx = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+        idx = np.lexsort(
+            (np.broadcast_to(ids_cols, sims.shape), -sims), axis=1)[:, :m]
         take = np.take_along_axis(sims, idx, axis=1)
         return pa.table({
             "seed_idx": pa.array(np.repeat(ids_rows, m), pa.int64()),
@@ -360,10 +365,11 @@ def ivf_knn_search(ds: ray.data.Dataset, queries: np.ndarray,
             probe = np.isin(cells, qc[qi])
             if not probe.any():
                 continue
+            pidx = np.nonzero(probe)[0]
             sims = qm[qi] @ m[probe].T
             kk = min(k, len(sims))
-            idx = np.argpartition(-sims, kk - 1)[:kk]
-            sel = np.nonzero(probe)[0][idx]
+            idx = np.lexsort((ids[pidx], -sims))[:kk]   # tie-break: id asc
+            sel = pidx[idx]
             out_q.append(np.full(kk, qids[qi]))
             out_n.append(ids[sel])
             out_s.append(sims[idx])
@@ -408,7 +414,10 @@ def knn_search(ds: ray.data.Dataset, queries: np.ndarray,
         m = _normalize(_emb_matrix(t))
         sims = qm @ m.T                            # (Q, batch)
         kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # (sim desc, id asc) per-query order — matches reduce_topk's
+        # tie-break so tied candidates are never dropped locally
+        idx = np.lexsort((np.broadcast_to(ids, sims.shape), -sims),
+                         axis=1)[:, :kk]
         rows = np.repeat(qids, kk)
         cols = idx.ravel()
         return pa.table({

@@ -160,19 +160,14 @@ def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-# ASCII punctuation token hashes: the shared tokenizer emits punctuation
-# chars as their own tokens; lang-id counts only word tokens, so these are
-# filtered by hash value (single-char tokens hash via the 8-byte fast path).
-_PUNCT_CHARS = [chr(c) for c in range(33, 127)
-                if not (chr(c).isalnum() or chr(c) == "_")]
-
-
 class LangIdActor:
     """Stateful actor: per-language SORTED stopword token-hash tables built
     once per actor (__init__); per batch (__call__) the shared vectorized
-    tokenizer produces token hashes and language hits are hash-set
-    membership (searchsorted) + one bincount per language — no per-row
-    Python.
+    tokenizer (word-only mode — punctuation, ASCII or not, is dropped at
+    the tokenizer so the denominator is exactly the \\w+ token count on
+    both the byte fast path and the regex fallback) produces token hashes
+    and language hits are hash-set membership (searchsorted) + one bincount
+    per language — no per-row Python.
 
     Heuristic (unchanged semantics): predicted language = argmax
     stopword-hit ratio over \\w+ tokens of the lowercased text, first
@@ -186,8 +181,6 @@ class LangIdActor:
                 dtype=np.uint64))
             for lang, ws in STOPWORDS.items()
         }
-        self.punct = np.sort(np.array(
-            [K._token_hash_cached(c) for c in _PUNCT_CHARS], dtype=np.uint64))
 
     @staticmethod
     def _member(vals: np.ndarray, table: np.ndarray) -> np.ndarray:
@@ -198,17 +191,17 @@ class LangIdActor:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = t.num_rows
-        flat, offs = K.tokenize_hash_arrow(t.column("text"), lowercase=True)
+        flat, offs = K.tokenize_hash_arrow(t.column("text"), lowercase=True,
+                                           words_only=True)
         counts = (offs[1:] - offs[:-1]).astype(np.int64)
         doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
-        word = ~self._member(flat, self.punct)
-        ntok = np.bincount(doc_of[word], minlength=n).astype(np.int64)
+        ntok = counts.copy()
         denom = np.maximum(ntok, 1).astype(np.float64)
 
         best = np.zeros(n, dtype=np.float64)
         pred_idx = np.full(n, -1, dtype=np.int64)
         for li, lang in enumerate(self.langs):
-            hit = word & self._member(flat, self.tables[lang])
+            hit = self._member(flat, self.tables[lang])
             hits = np.bincount(doc_of[hit], minlength=n).astype(np.int64)
             r = hits / denom
             upd = r > best

@@ -1,0 +1,210 @@
+"""Round-3 regression gates: the ADVICE-flagged defects (tie-dropping in
+per-item NN local top-k, stale checkpoint partitions after a num_parts
+change, shift-by-64 pack mask, row-count-only input fingerprint, non-ASCII
+punctuation inflating lang-id denominators) each get a test that fails on
+the round-2 code."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+
+# ------------------------------------------------ NN tie-break correctness
+
+def _brute_nn(mat, ids, k):
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    np.fill_diagonal(sims, -2.0)
+    expect = {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))[:k - 1]
+        for r, j in enumerate(order):
+            dist = round(float(np.sqrt(2 * (1 - np.clip(sims[i, j],
+                                                        -1, 1)))), 9)
+            expect[(int(ids[i]), r + 1)] = (int(ids[j]), dist)
+    return expect
+
+
+def test_approx_nn_ranking_duplicate_vectors_tie_break():
+    """30 of 40 rows share one vector (every in-cluster sim is exactly 1.0):
+    the local top-k must keep the LOWEST-id tied candidates, matching the
+    oracle's (sim desc, nn_idx asc) order — argpartition without a tie-break
+    returned arbitrary tied ids here."""
+    from raydedup.stages.embedding import approx_nn_ranking
+
+    rng = np.random.default_rng(3)
+    d, k = 8, 4
+    base = rng.normal(size=d)
+    mat = np.vstack([np.tile(base, (30, 1)),
+                     rng.normal(size=(10, d))]).astype(np.float64)
+    ids = np.arange(100, 140, dtype=np.int64)
+    perm = rng.permutation(40)                 # ids not in block order
+    mat, ids = mat[perm], ids[perm]
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(mat))})
+    expect = _brute_nn(mat, ids, k)
+
+    for blk in (7, 1000):                      # multi-block and single-block
+        out = approx_nn_ranking(rd.from_arrow(tbl), k=k,
+                                target_block_rows=blk).to_pandas()
+        got = {(int(r.seed_idx), int(r.rank)): (int(r.nn_idx), r.nn_dist)
+               for r in out.itertuples()}
+        assert len(out) == 40 * (k - 1), blk
+        for key, (nid, ndist) in expect.items():
+            gid, gdist = got[key]
+            assert gid == nid, (blk, key, gid, nid)
+            assert gdist == pytest.approx(ndist, abs=2e-9), (blk, key)
+
+
+def test_knn_search_duplicate_vectors_tie_break():
+    """Brute kNN local top-k keeps lowest-id tied candidates across batches
+    (same defect class as approx_nn_ranking)."""
+    from raydedup.stages.embedding import knn_search
+
+    rng = np.random.default_rng(4)
+    d, k = 6, 5
+    base = rng.normal(size=d)
+    mat = np.vstack([np.tile(base, (20, 1)),
+                     rng.normal(size=(20, d))]).astype(np.float64)
+    ids = np.arange(200, 240, dtype=np.int64)
+    perm = rng.permutation(40)
+    mat, ids = mat[perm], ids[perm]
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(mat))})
+    queries = np.vstack([base, rng.normal(size=d)])
+    qids = np.array([0, 1], dtype=np.int64)
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ norm.T
+    ds = rd.from_arrow(tbl).repartition(6)     # force multiple batches
+    out = knn_search(ds, queries, qids, k=k).to_pandas() \
+        .sort_values(["query_id", "rank"])
+    for qi in (0, 1):
+        order = np.lexsort((ids, -sims[qi]))[:k]
+        got = out[out.query_id == qi].neighbor_id.to_numpy()
+        assert (got == ids[order]).all(), qi
+
+
+# ---------------------------------------- stale checkpoint partition purge
+
+def test_partitioned_stage_purges_stale_high_parts(tmp_path):
+    """Reducing num_parts on an existing ckpt_dir must not silently read
+    stale ckpt_part dirs >= the new num_parts into the output (rows were
+    duplicated before the purge), and the stale manifest must be rewritten."""
+    import json
+
+    from raydedup.checkpoint import CheckpointManager
+    tbl = pa.table({"id": pa.array(range(100), pa.int64()),
+                    "v": pa.array(range(100), pa.int64())})
+
+    def pre():
+        return rd.from_arrow(tbl)
+
+    root = str(tmp_path / "ck")
+    ck8 = CheckpointManager(root=root, cfg_hash="h8", input_token="t")
+    out8 = ck8.partitioned_stage("s", pre, lambda ds: ds, num_parts=8)
+    assert out8.count() == 100
+
+    # same stage dir, smaller partitioning (cfg change)
+    ck4 = CheckpointManager(root=root, cfg_hash="h4", input_token="t")
+    out4 = ck4.partitioned_stage("s", pre, lambda ds: ds, num_parts=4)
+    assert out4.count() == 100                  # not 100 + stale rows
+    sdir = os.path.join(root, "s")
+    stale = [d for d in os.listdir(sdir)
+             if d.startswith("ckpt_part=")
+             and int(d.split("=")[1]) >= 4]
+    assert stale == []
+    stale_markers = [f for f in os.listdir(sdir)
+                     if f.startswith("part=") and f.endswith(".done.json")
+                     and int(f[len("part="):-len(".done.json")]) >= 4]
+    assert stale_markers == []
+    with open(os.path.join(root, "s.manifest.json")) as f:
+        meta = json.load(f)
+    assert meta["cfg_hash"] == "h4" and meta["num_parts"] == 4
+
+
+# ------------------------------------------------------- pack mask lookup
+
+def test_token_hash_mask_lookup_parity():
+    """8-byte-token pack mask comes from a lookup table (shift-by-64 is
+    undefined); hashes for 1..12-byte tokens must equal the scalar spec."""
+    from raydedup import kernels as K
+    toks = ["a", "ab", "abcdefg", "abcdefgh", "abcdefghi", "abcdefghijkl"]
+    text = " ".join(toks)
+    flat, offs = K.tokenize_hash_batch([text])
+    assert int(offs[1]) == len(toks)
+    for i, tok in enumerate(toks):
+        assert int(flat[i]) == K._token_hash_cached(tok), tok
+    assert int(K._PACK_MASKS[8]) == (1 << 64) - 1
+
+
+# ----------------------------------------- input fingerprint detects edits
+
+def test_ckpt_fingerprint_detects_same_count_edit(tmp_path):
+    """Editing the input data without changing the row count must invalidate
+    the checkpoints (round-2 folded only the row count). Proof: poison a
+    committed signature partition (empty parquet, marker intact) — an
+    unchanged input trusts it from disk, an edited input recomputes it."""
+    from raydedup import corpus
+    from raydedup.pipeline import run_on_parquet
+
+    code_dir, _ = corpus.write_corpus(str(tmp_path / "c"), 120, seed=7,
+                                      num_files=1)
+    ck = str(tmp_path / "ck")
+    res1 = run_on_parquet(code_dir, ckpt_dir=ck)
+    assert res1.signatures.count() == 120
+
+    sig_dir = os.path.join(ck, "signatures")
+    poisoned = 0
+    for d in sorted(os.listdir(sig_dir)):
+        if not d.startswith("ckpt_part="):
+            continue
+        for f in os.listdir(os.path.join(sig_dir, d)):
+            if f.endswith(".parquet"):
+                p = os.path.join(sig_dir, d, f)
+                t = pq.read_table(p)
+                poisoned += t.num_rows
+                pq.write_table(t.slice(0, 0), p)
+        if poisoned:
+            break
+    assert poisoned > 0
+    os.remove(os.path.join(ck, "signatures.manifest.json"))
+
+    # edit one input file: same row count, different content bytes
+    src = next(f for f in sorted(os.listdir(code_dir))
+               if f.endswith(".parquet"))
+    p = os.path.join(code_dir, src)
+    t = pq.read_table(p)
+    texts = t.column("content").to_pylist()
+    texts[0] = texts[0] + " edited"
+    t = t.set_column(t.schema.get_field_index("content"), "content",
+                     pa.array(texts, t.column("content").type))
+    pq.write_table(t, p)
+
+    res2 = run_on_parquet(code_dir, ckpt_dir=ck)
+    # edited input -> every partition recomputed, poisoned rows restored
+    assert res2.signatures.count() == 120
+
+
+# ----------------------------------------- lang-id non-ASCII punctuation
+
+def test_lang_id_non_ascii_punct_excluded_from_denominator():
+    """Non-ASCII punctuation (¿ — «) routes the batch to the regex fallback;
+    it must not count toward the \\w+ token denominator (round-2 filtered
+    only ASCII punctuation by hash)."""
+    from raydedup.stages.textstats import lang_id
+
+    # 4 es stopword hits over 5 word tokens -> 0.8; the buggy denominator
+    # also counted the 3 punctuation marks -> 0.5
+    txt = "el la de que ¿cómo? —"
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array([txt, "the and of a to in"])})
+    out = lang_id(rd.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    assert list(out.pred_lang) == ["es", "en"]
+    assert out.lang_score.iloc[0] == pytest.approx(4 / 5)
+    assert out.lang_score.iloc[1] == pytest.approx(1.0)
