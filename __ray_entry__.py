@@ -322,10 +322,33 @@ def _q_embedding_pair_ranking(sf_dir: str):
 def _q_approx_nn_ranking(sf_dir: str):
     """Per-item NN table for every row (reference
     get_approx_near_duplicate_ranking analog, embedding_distance_mixin.py:
-    92-127); angular distance, brute-force recall=1 instead of Annoy."""
+    92-127); angular distance, brute-force recall=1 instead of Annoy.
+    This is the exact-parity surface; ivf_nn_ranking below is the
+    sub-quadratic scale path (the driver embeddings' weak-neighbor tail is
+    uniform noise, so NO bucketed method can match the exact oracle —
+    measured 769/2000 rows differ at n_probe=8/11 with tail sims ~0.33)."""
     from raydedup.stages.embedding import approx_nn_ranking, load_embeddings
     return approx_nn_ranking(load_embeddings(f"{sf_dir}/embeddings.parquet"),
                              k=5)
+
+
+# ivf_nn_ranking quantizer parameters: 16 random-projection cells (seeded,
+# data-independent — the SQL oracle inlines the identical centroids), probe
+# the 4 nearest cells => ~4/16 of the similarity matrix is ever computed.
+_IVF_N_CELLS, _IVF_N_PROBE, _IVF_SEED = 16, 4, 7
+
+
+def _q_ivf_nn_ranking(sf_dir: str):
+    """IVF-bucketed per-item NN — the scale path for the reference's Annoy
+    ANN (embedding_distance_mixin.py:92-127: Annoy exists precisely to
+    avoid N^2): no all-pairs tile anywhere; each seed is scored only
+    against rows in its n_probe nearest cells. The oracle replays the
+    exact bucketing in SQL from the inlined centroid literals."""
+    from raydedup.stages.embedding import approx_nn_ranking, load_embeddings
+    return approx_nn_ranking(load_embeddings(f"{sf_dir}/embeddings.parquet"),
+                             k=5, method="ivf", n_cells=_IVF_N_CELLS,
+                             n_probe=_IVF_N_PROBE, seed=_IVF_SEED,
+                             trained=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -352,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_pairs": _q_substring_pairs,
         "quantile_off_topic": _q_quantile_off_topic,
         "approx_nn_ranking": _q_approx_nn_ranking,
+        "ivf_nn_ranking": _q_ivf_nn_ranking,
     }
 
 
@@ -419,6 +443,61 @@ _CC_CTES = _PAIR_CTES + r""", und AS (
   SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN cc c ON c.id = d.doc_id
 )"""
+
+
+def _ivf_nn_sql() -> str:
+    """SQL replay of the IVF-bucketed per-item NN: the seeded
+    random-projection centroids are inlined as DOUBLE[] literals (D=64, the
+    driver embeddings' dimension at every sf), then cell assignment (argmax
+    rounded cosine, lowest cell on ties), the n_probe probe graph, the
+    bucketed candidate join, and the (sim desc, nn asc) ranking are all
+    computed IN SQL — an independent implementation of everything the
+    distributed path does after centroid construction. All similarities
+    round with the shared floor(x*1e9+0.5)/1e9 formula on both sides."""
+    from raydedup.stages.embedding import rp_centroids
+    cents = rp_centroids(_IVF_N_CELLS, 64, _IVF_SEED)
+    rows = ",\n              ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ", ".join(repr(float(x)) for x in cents[i]))
+        for i in range(len(cents)))
+    return f"""
+        WITH cents(cell, v) AS (VALUES
+              {rows}
+        ), asn AS (
+          SELECT vec_id, cell, e FROM (
+            SELECT a.vec_id, c.cell, CAST(a.embedding AS DOUBLE[]) AS e,
+                   row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                     floor(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]), c.v)
+                           * 1e9 + 0.5) / 1e9 DESC, c.cell ASC) AS rn
+            FROM embeddings a CROSS JOIN cents c
+          ) WHERE rn = 1
+        ), cprobe AS (
+          SELECT c, d FROM (
+            SELECT a.cell AS c, b.cell AS d,
+                   row_number() OVER (PARTITION BY a.cell ORDER BY
+                     floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5)
+                         / 1e9 DESC, b.cell ASC) AS rn
+            FROM cents a CROSS JOIN cents b
+          ) WHERE rn <= {_IVF_N_PROBE}
+        ), sims AS (
+          SELECT a.vec_id AS seed_idx, b.vec_id AS nn_idx,
+                 floor(list_cosine_similarity(a.e, b.e) * 1e9 + 0.5) / 1e9
+                     AS sim
+          FROM asn a
+          JOIN cprobe p ON p.c = a.cell
+          JOIN asn b ON b.cell = p.d AND b.vec_id <> a.vec_id
+        ), ranked AS (
+          SELECT seed_idx, nn_idx, sim,
+                 row_number() OVER (PARTITION BY seed_idx
+                                    ORDER BY sim DESC, nn_idx ASC) AS rank
+          FROM sims
+        )
+        SELECT seed_idx, rank, nn_idx,
+               floor(sqrt(2.0 * (1.0 - least(greatest(sim, -1.0), 1.0)))
+                     * 1e9 + 0.5) / 1e9 AS nn_dist
+        FROM ranked WHERE rank <= 4
+    """
 
 
 def _lang_id_sql() -> str:
@@ -630,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
                          * 1e9 + 0.5) / 1e9 AS nn_dist
             FROM ranked WHERE rank <= 4
         """,
+        "ivf_nn_ranking": _ivf_nn_sql(),
         "lang_id": _lang_id_sql(),
         "minhash_dup_pairs": f"""
             WITH {_PAIR_CTES}

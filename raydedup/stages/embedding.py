@@ -165,22 +165,35 @@ def pair_ranking(ds: ray.data.Dataset, id_col: str = "vec_id",
 
 def approx_nn_ranking(ds: ray.data.Dataset, k: int = 5,
                       id_col: str = "vec_id",
-                      target_block_rows: int = PAIR_BLOCK_ROWS
-                      ) -> ray.data.Dataset:
+                      target_block_rows: int = PAIR_BLOCK_ROWS,
+                      method: str = "brute",
+                      n_cells: int = 0, n_probe: int = 8,
+                      seed: int = 42,
+                      trained: bool = True) -> ray.data.Dataset:
     """Per-item nearest-neighbor table for EVERY row — the engine analog of
     the reference's get_approx_near_duplicate_ranking
     (selfclean/cleaner/near_duplicates/embedding_distance_mixin.py:92-127,
     AnnoyIndex angular kNN per sample). Output long-form:
     (seed_idx, rank 1..k-1, nn_idx, nn_dist) with the reference's angular
     distance sqrt(2*(1-cos)); self (the reference's nn_idx_0 == seed_idx) is
-    implicit. Brute-force recall=1 replaces Annoy's approximation.
+    implicit.
 
-    Execution: block-pair tiles emit each row's LOCAL top-(k-1) per tile;
-    the global reduce is one sort by (seed, sim desc, nn) + per-block
+    method="brute": block-pair tiles emit each row's LOCAL top-(k-1) per
+    tile — recall 1, O(N^2) dot products; the small-N parity gate.
+    method="ivf": the scale path (Annoy exists in the reference precisely
+    to avoid N^2) — rows are bucketed by an IVF coarse quantizer and each
+    seed is scored only against rows in its n_probe nearest cells; compute
+    is ~sum_cells |cell| x |probed rows|, sub-quadratic when cells spread.
+
+    Both paths share one reduce: sort by (seed, sim desc, nn) + per-block
     run-scan taking the first k-1 rows per seed (boundary runs finished on
-    the driver, candidates.run_minima scheme). Rows into the sort: N x
-    n_blocks x (k-1) — linear in N, never N^2."""
+    the driver, candidates.run_minima scheme). Rows into the sort are
+    linear in N, never N^2."""
     kk = max(1, k - 1)
+    if method == "ivf":
+        rows = _ivf_nn_rows(ds, kk, id_col, n_cells, n_probe, seed,
+                            trained=trained)
+        return _rank_nn_rows(rows, kk)
     refs, idx_ds = _block_pair_index(ds, id_col, target_block_rows)
 
     def local_topk(sims: np.ndarray, ids_rows: np.ndarray,
@@ -223,6 +236,13 @@ def approx_nn_ranking(ds: ray.data.Dataset, k: int = 5,
             "sim": pa.array([], pa.float64())})
 
     rows = idx_ds.map_batches(tile, batch_format="pyarrow")
+    return _rank_nn_rows(rows, kk)
+
+
+def _rank_nn_rows(rows: ray.data.Dataset, kk: int) -> ray.data.Dataset:
+    """Shared NN reduce: candidate rows (seed_idx, nn_idx, sim) -> ranked
+    (seed_idx, rank 1..kk, nn_idx, nn_dist) via one global sort + per-block
+    run-scan (boundary runs finished on the driver when small)."""
     srt = rows.sort(["seed_idx", "sim", "nn_idx"],
                     descending=[False, True, False]).materialize()
 
@@ -321,6 +341,146 @@ def approx_nn_ranking(ds: ray.data.Dataset, k: int = 5,
     return inner.union(bout)
 
 
+def _train_centroids(smat: np.ndarray, n_cells: int, seed: int,
+                     iters: int = 5) -> np.ndarray:
+    """Spherical k-means (Lloyd) over a normalized sample: seeded
+    random-unit init refined so cells follow the data's mass."""
+    rng = np.random.default_rng(seed)
+    cents = _normalize(rng.standard_normal((n_cells, smat.shape[1])))
+    for _ in range(iters):
+        assign = np.argmax(smat @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = smat[assign == c]
+            if len(members):
+                cents[c] = members.sum(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+# driver-side sample size for IVF centroid training (rows)
+IVF_TRAIN_SAMPLE = 16384
+
+
+def rp_centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
+    """Data-independent random-projection cells: normalized rows of a
+    seeded standard-normal draw. Exactly reproducible outside the engine
+    (the ivf_nn_ranking SQL oracle inlines these as literals), unlike the
+    k-means cells which depend on the training sample."""
+    rng = np.random.default_rng(seed)
+    return _normalize(rng.standard_normal((n_cells, dim)))
+
+
+def _ivf_nn_rows(ds: ray.data.Dataset, kk: int, id_col: str,
+                 n_cells: int, n_probe: int, seed: int,
+                 trained: bool = True) -> ray.data.Dataset:
+    """IVF-bucketed per-item NN candidate rows (seed_idx, nn_idx, sim).
+
+    1. Build C cells — spherical-k-means centroids trained on a bounded
+       driver-side sample (trained=True, better recall) or seeded
+       random-projection centroids (trained=False, reproducible outside
+       the engine so a SQL oracle can replay the exact bucketing);
+       broadcast (ray.put) centroids + the REVERSE probe map rev[d] =
+       {c : d among the n_probe cells nearest centroid c}.
+       Assignment / probe / ranking similarities are all rounded to 1e-9
+       (shared floor formula) before any argmax / sort, so an external
+       replay with different float op order lands on the same cells.
+    2. Route (map_batches): every row is emitted once as a SEED of its own
+       cell and once as a CANDIDATE into each group of rev[own_cell] —
+       candidate duplication ~= n_probe, seeds never duplicated, so each
+       (seed, cand) pair is scored at most once.
+    3. One groupby(cell).map_groups per cell: sims = seeds @ candidates.T
+       (self excluded by id), per-seed top-kk under the deterministic
+       (sim desc, nn asc) order.
+
+    Compute is sum_c |c| x |probed(c)| dot products — sub-quadratic when
+    cells spread; a single giant duplicate cluster degenerates to one hot
+    cell (that cell's block is quadratic in its size, the LSH plane's
+    sha-representative collapse is the engine's answer for exact dups).
+    Partitioning assumption: one hash shuffle by cell id (<= C keys)."""
+    n = ds.count()
+    if n_cells <= 0:
+        # ~sqrt(N)/2 cells: avg cell ~ 2 sqrt(N) rows keeps every seed's
+        # candidate pool (n_probe cells) comfortably above kk
+        n_cells = max(1, min(256, int(round(np.sqrt(n / 4.0)))))
+    n_cells = min(n_cells, max(1, n))
+    n_probe = min(n_probe, n_cells)
+
+    sample_tbl = pa.concat_tables(
+        ds.select_columns(["embedding"]).limit(
+            IVF_TRAIN_SAMPLE if trained else 1)
+        .iter_batches(batch_format="pyarrow", batch_size=IVF_TRAIN_SAMPLE))
+    smat = _normalize(_emb_matrix(sample_tbl))
+    cents = _train_centroids(smat, n_cells, seed) if trained \
+        else rp_centroids(n_cells, smat.shape[1], seed)
+    csim = _round9(cents @ cents.T)
+    # per-row (sim desc, cell asc) — deterministic probe graph
+    probe = np.lexsort((np.broadcast_to(
+        np.arange(n_cells), csim.shape), -csim), axis=1)[:, :n_probe]
+    rev = [[] for _ in range(n_cells)]
+    for c in range(n_cells):
+        for d in probe[c]:
+            rev[int(d)].append(c)
+    rev_counts = np.array([len(r) for r in rev], dtype=np.int64)
+    rev_offs = np.zeros(n_cells + 1, dtype=np.int64)
+    np.cumsum(rev_counts, out=rev_offs[1:])
+    rev_flat = np.array([c for r in rev for c in r], dtype=np.int64)
+    bref = ray.put((cents, rev_flat, rev_offs, rev_counts))
+
+    def route(t: pa.Table) -> pa.Table:
+        cm, rflat, roffs, rcounts = ray.get(bref)
+        # argmax of ROUNDED sims, first-max = lowest cell on ties
+        cells = np.argmax(_round9(_normalize(_emb_matrix(t)) @ cm.T),
+                          axis=1)
+        nloc = t.num_rows
+        base = t.select([id_col, "embedding"])
+        seeds = base.append_column("grp", pa.array(cells, pa.int64())) \
+            .append_column("role", pa.array(np.zeros(nloc, np.int8)))
+        # vectorized variable-length expansion of rev[cells[i]]
+        reps = rcounts[cells]
+        total = int(reps.sum())
+        seg = np.repeat(np.arange(nloc, dtype=np.int64), reps)
+        starts = np.zeros(nloc + 1, dtype=np.int64)
+        np.cumsum(reps, out=starts[1:])
+        within = np.arange(total, dtype=np.int64) - starts[seg]
+        grp = rflat[roffs[cells[seg]] + within]
+        cands = base.take(pa.array(seg)) \
+            .append_column("grp", pa.array(grp, pa.int64())) \
+            .append_column("role", pa.array(np.ones(total, np.int8)))
+        return pa.concat_tables([seeds, cands])
+
+    routed = ds.map_batches(route, batch_format="pyarrow")
+
+    empty = pa.schema([("seed_idx", pa.int64()), ("nn_idx", pa.int64()),
+                       ("sim", pa.float64())]).empty_table()
+
+    def score_cell(t: pa.Table) -> pa.Table:
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        s_mask, c_mask = role == 0, role == 1
+        if not s_mask.any() or not c_mask.any():
+            return empty
+        st, ct = t.filter(pa.array(s_mask)), t.filter(pa.array(c_mask))
+        ids_s = st.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids_c = ct.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sims = _round9(
+            _normalize(_emb_matrix(st)) @ _normalize(_emb_matrix(ct)).T)
+        sims[ids_s[:, None] == ids_c[None, :]] = -2.0     # exclude self
+        m = min(kk, sims.shape[1])
+        idx = np.lexsort(
+            (np.broadcast_to(ids_c, sims.shape), -sims), axis=1)[:, :m]
+        take = np.take_along_axis(sims, idx, axis=1).ravel()
+        keep = take > -2.0          # drop self rows when pool is tiny
+        return pa.table({
+            "seed_idx": pa.array(np.repeat(ids_s, m)[keep], pa.int64()),
+            "nn_idx": pa.array(ids_c[idx.ravel()][keep], pa.int64()),
+            "sim": pa.array(take[keep], pa.float64()),
+        })
+
+    return routed.groupby("grp").map_groups(
+        score_cell, batch_format="pyarrow")
+
+
 def ivf_knn_search(ds: ray.data.Dataset, queries: np.ndarray,
                    query_ids: np.ndarray, k: int, n_cells: int = 64,
                    n_probe: int = 8, seed: int = 42,
@@ -337,20 +497,11 @@ def ivf_knn_search(ds: ray.data.Dataset, queries: np.ndarray,
     stays one map_batches + one small groupby(query) reduction, same shape
     as brute force but touching ~n_probe/n_cells of the dot products.
     """
-    rng = np.random.default_rng(seed)
     sample_tbl = pa.concat_tables(
         ds.select_columns(["embedding"]).limit(8192)
         .iter_batches(batch_format="pyarrow", batch_size=8192))
-    smat = _normalize(_emb_matrix(sample_tbl))
-    dim = smat.shape[1]
-    cents = _normalize(rng.standard_normal((n_cells, dim)))
-    for _ in range(5):                       # spherical Lloyd refinement
-        assign = np.argmax(smat @ cents.T, axis=1)
-        for c in range(n_cells):
-            members = smat[assign == c]
-            if len(members):
-                cents[c] = members.sum(axis=0)
-        cents = _normalize(cents)
+    cents = _train_centroids(_normalize(_emb_matrix(sample_tbl)),
+                             n_cells, seed)
     qn = _normalize(queries.astype(np.float64))
     q_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]   # (Q, n_probe)
     qref = ray.put((query_ids.astype(np.int64), qn, cents, q_cells))
