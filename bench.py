@@ -69,7 +69,6 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     from raydedup.stages.ingest import documents_as_code_files
     from raydedup.stages.textstats import fingerprints, token_counts
 
-    queries: dict[str, float] = {}
     run_rows = int(os.environ.get("GRAFT_RUN_ROWS", BENCH_ROWS))
     code_dir = ensure_corpus(run_rows)
 
@@ -84,53 +83,71 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     cfg = EngineConfig(sig_concurrency=max(2, num_cpus - 2),
                        join_num_partitions=npart)
 
-    t0 = time.perf_counter()
-    res = run_pipeline(rd.read_parquet(
-        code_dir, columns=["repo", "path", "commit", "lang", "content"]),
-        cfg, issues_to_detect=[IssueType.NEAR_DUPLICATES])
-    n_pairs = res.verified_pairs.count()
-    n_clusters = res.clusters.count()
-    flagship_s = time.perf_counter() - t0
-    queries["flagship_corpus_dedup"] = round(flagship_s, 3)
+    invariants = {"n_pairs": [], "n_clusters": []}
 
-    t0 = time.perf_counter()
-    dres = run_pipeline(documents_as_code_files(sf_dir))
-    dres.clusters.count()
-    queries["documents_dedup"] = round(time.perf_counter() - t0, 3)
+    def q_flagship():
+        res = run_pipeline(rd.read_parquet(
+            code_dir, columns=["repo", "path", "commit", "lang", "content"]),
+            cfg, issues_to_detect=[IssueType.NEAR_DUPLICATES])
+        invariants["n_pairs"].append(res.verified_pairs.count())
+        invariants["n_clusters"].append(res.clusters.count())
 
-    t0 = time.perf_counter()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
-    token_counts(docs).count()
-    queries["token_counts"] = round(time.perf_counter() - t0, 3)
+    def q_documents():
+        run_pipeline(documents_as_code_files(sf_dir)).clusters.count()
 
-    t0 = time.perf_counter()
-    fingerprints(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
-    queries["fingerprints"] = round(time.perf_counter() - t0, 3)
+    def q_token_counts():
+        token_counts(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
 
-    t0 = time.perf_counter()
-    import pyarrow.parquet as pq
+    def q_fingerprints():
+        fingerprints(rd.read_parquet(f"{sf_dir}/documents.parquet")).count()
 
-    from raydedup.stages.embedding import knn_search, load_embeddings
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"]).sort_by("vec_id") \
-        .slice(0, 8)
-    knn_search(load_embeddings(f"{sf_dir}/embeddings.parquet"),
-               np.array(qt.column("embedding").to_pylist(), dtype=np.float64),
-               np.array(qt.column("vec_id").to_pylist(), dtype=np.int64),
-               k=5).count()
-    queries["embedding_knn"] = round(time.perf_counter() - t0, 3)
+    def q_knn():
+        import pyarrow.parquet as pq
 
+        from raydedup.stages.embedding import knn_search, load_embeddings
+        qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+            .sort_by("vec_id").slice(0, 8)
+        knn_search(
+            load_embeddings(f"{sf_dir}/embeddings.parquet"),
+            np.array(qt.column("embedding").to_pylist(), dtype=np.float64),
+            np.array(qt.column("vec_id").to_pylist(), dtype=np.int64),
+            k=5).count()
+
+    jobs = [("flagship_corpus_dedup", q_flagship),
+            ("documents_dedup", q_documents),
+            ("token_counts", q_token_counts),
+            ("fingerprints", q_fingerprints),
+            ("embedding_knn", q_knn)]
+
+    # single-shot wall-times on this shared host swing 2-3x with cross-
+    # tenant load; interleave >= 2 full passes over the pipeline sequence
+    # and report min (least-perturbed) + all repeats (the spread), so one
+    # noisy pass can't read as a regression
+    repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))
+    times: dict[str, list] = {name: [] for name, _ in jobs}
+    for _ in range(repeats):
+        for name, fn in jobs:
+            t0 = time.perf_counter()
+            fn()
+            times[name].append(round(time.perf_counter() - t0, 3))
+
+    assert len(set(invariants["n_pairs"])) == 1, invariants   # determinism
+    queries = {name: min(ts) for name, ts in times.items()}
+    flagship_s = queries["flagship_corpus_dedup"]
     return {
         "metric": "dedup_pipeline_wall_sec",
-        "value": round(flagship_s, 3),
+        "value": flagship_s,
         "unit": "sec",
         "queries": queries,
+        "queries_repeats": times,
+        "bench_repeats": repeats,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "corpus_rows": run_rows,
         "files_per_s": round(run_rows / flagship_s, 1),
-        "n_pairs": n_pairs,
-        "n_clusters": n_clusters,
+        "n_pairs": invariants["n_pairs"][0],
+        "n_clusters": invariants["n_clusters"][0],
     }
 
 
@@ -153,7 +170,9 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         _await_ray_teardown()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_RUN_ROWS=str(SCALING_ROWS))
+                   GRAFT_RUN_ROWS=str(SCALING_ROWS),
+                   # scaling does its own per-level repeats; don't nest
+                   GRAFT_BENCH_REPEATS="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(
