@@ -272,13 +272,19 @@ def _q_session_windows(sf_dir: str):
 
 
 def _q_substring_pairs(sf_dir: str):
-    """Containment/substring matches, projected to the SQL-expressible
-    columns. Caveat (documented): candidacy is LSH-probabilistic, so for
-    containment pairs at very low Jaccard the engine may under-report vs the
-    exhaustive SQL; the planted-substring pytest fixture gates recall."""
-    from raydedup.pipeline import run_pipeline
-    res = run_pipeline(_docs_as_code(sf_dir))
-    sub = res.verified_pairs.filter(expr="match_kind == 'substring'")
+    """Containment/substring matches via the EXACT prefix-filter pass
+    (stages/containment.py): every pair with containment >= 0.9 shares one
+    of the smaller doc's floor(0.1*n)+1 smallest shingles with the larger
+    doc (pigeonhole), so candidacy is deterministic — recall 1.0 vs the
+    exhaustive SQL (the LSH-piggybacked pass under-reported at low J)."""
+    from raydedup.stages.containment import containment_pairs
+    from raydedup.stages.ingest import ingest
+    from raydedup.stages.signatures import compute_signatures
+    cfg = _cfg()
+    sigs = compute_signatures(ingest(_docs_as_code(sf_dir)),
+                              cfg).materialize()
+    sub = containment_pairs(sigs, cfg) \
+        .filter(expr="match_kind == 'substring'")
 
     def fmt(t: pa.Table) -> pa.Table:
         return pa.table({

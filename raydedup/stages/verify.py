@@ -25,11 +25,11 @@ from raydedup.config import EngineConfig
 from raydedup.util import hash_join, unpack_u64_2d
 
 
-def _score_batch(cfg: EngineConfig):
+def _score_batch(cfg: EngineConfig, force_exact: bool = False):
     P = cfg.minhash.num_perm
     thr = cfg.verify.threshold
     band = cfg.verify.exact_band
-    use_exact = cfg.verify.use_exact
+    use_exact = cfg.verify.use_exact or force_exact
 
     cthr = cfg.verify.containment_threshold
 
@@ -46,7 +46,8 @@ def _score_batch(cfg: EngineConfig):
             # exact set math near/above threshold and wherever a
             # high-containment substring match is possible (see
             # _broadcast_verify.score for the bound)
-            need = est >= min(thr - band, 0.2)
+            need = np.ones(n, dtype=bool) if force_exact \
+                else est >= min(thr - band, 0.2)
             if need.any():
                 from raydedup import kernels as K
                 from raydedup.util import unpack_u64_flat
@@ -124,7 +125,8 @@ def _collect_ids(ds: ray.data.Dataset, col: str) -> np.ndarray:
 
 
 def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
-                      cfg: EngineConfig) -> ray.data.Dataset:
+                      cfg: EngineConfig,
+                      force_exact: bool = False) -> ray.data.Dataset:
     """Join-free verification: the signature subset touched by candidates is
     collected once, broadcast via ray.put, and looked up per pair batch with
     searchsorted. Kills two hash-join shuffles whose aggregator-actor spin-up
@@ -160,7 +162,7 @@ def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
 
     thr = cfg.verify.threshold
     band = cfg.verify.exact_band
-    use_exact = cfg.verify.use_exact
+    use_exact = cfg.verify.use_exact or force_exact
 
     cthr = cfg.verify.containment_threshold
 
@@ -179,7 +181,8 @@ def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
             # set of size m in a set of size M has J = m/M, so est J alone
             # bounds containment candidates from below by thr_c * m/M; cheap
             # blanket rule: always exact-check pairs with est >= small floor.
-            need = est >= min(thr - band, 0.2)
+            need = np.ones(len(est), dtype=bool) if force_exact \
+                else est >= min(thr - band, 0.2)
             if need.any():
                 from raydedup import kernels as K
                 sel = np.nonzero(need)[0]
@@ -220,12 +223,15 @@ def _broadcast_bytes_ok(n_pairs: int, sigs: ray.data.Dataset,
 
 
 def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
-                 cfg: EngineConfig) -> ray.data.Dataset:
+                 cfg: EngineConfig,
+                 force_exact: bool = False) -> ray.data.Dataset:
     """Candidate pairs + signatures -> verified pair Dataset
     (id_a, id_b, est_jaccard, jaccard, distance), jaccard >= threshold.
 
     Small candidate sets (<= cfg.broadcast_id_limit ids) take the broadcast
-    path (no shuffle); larger sets fall back to two hash-partitioned joins."""
+    path (no shuffle); larger sets fall back to two hash-partitioned joins.
+    force_exact bypasses the est-Jaccard prefilter (containment candidates
+    exist precisely because their est-J is low)."""
     pairs = pairs.materialize()
     n = pairs.count()
     if n == 0:
@@ -234,7 +240,7 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         return empty_verified()
     if 2 * n <= cfg.broadcast_id_limit and \
             _broadcast_bytes_ok(n, sigs, cfg):
-        return _broadcast_verify(pairs, sigs, cfg)
+        return _broadcast_verify(pairs, sigs, cfg, force_exact)
     proj = sigs.select_columns(["id", "minhash", "shingles"])
     j1 = hash_join(pairs, proj, on="id_a", right_on="id",
                    num_partitions=cfg.join_num_partitions)
@@ -242,4 +248,5 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     j2 = hash_join(j1, proj, on="id_b", right_on="id",
                    num_partitions=cfg.join_num_partitions)
     j2 = j2.rename_columns({"minhash": "minhash_b", "shingles": "shingles_b"})
-    return j2.map_batches(_score_batch(cfg), batch_format="pyarrow")
+    return j2.map_batches(_score_batch(cfg, force_exact),
+                          batch_format="pyarrow")

@@ -254,6 +254,78 @@ def test_ckpt_fingerprint_detects_same_count_edit(tmp_path):
     assert res2.signatures.count() == 120
 
 
+# ------------------------------------- exact containment (prefix filter)
+
+def _containment_fixture():
+    """Docs where short texts are contained in long concatenations —
+    Jaccard far below 0.7, containment ~1.0: invisible to LSH candidacy,
+    exactly the case the prefix-filter pass must catch."""
+    rng = np.random.default_rng(21)
+    words = [f"w{i:03d}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, size=30, replace=False))
+             for _ in range(20)]
+    texts.append(texts[0] + " " + texts[1] + " " + texts[2])   # id 20
+    texts.append(texts[3] + " " + texts[4])                    # id 21
+    return pa.table({
+        "repo": pa.array(["r"] * len(texts)),
+        "path": pa.array([f"f{i}.py" for i in range(len(texts))]),
+        "commit": pa.array(["c"] * len(texts)),
+        "lang": pa.array(["python"] * len(texts)),
+        "content": pa.array(texts, pa.large_string()),
+    })
+
+
+def _expected_containment(sigs_df):
+    """Brute-force exact containment ground truth from the shingle sets."""
+    import raydedup.util as U
+    flat, offs = U.unpack_u64_flat(pa.chunked_array(
+        [pa.array(sigs_df.shingles.tolist())]))
+    sets = [set(flat[offs[i]:offs[i + 1]].tolist())
+            for i in range(len(sigs_df))]
+    ids = sigs_df.id.tolist()
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sets[i] & sets[j])
+            mn = min(len(sets[i]), len(sets[j]))
+            un = len(sets[i] | sets[j])
+            if mn and inter / mn >= 0.9 and inter / un < 0.7:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_containment_pairs_exact_recall(monkeypatch):
+    """Prefix-filter containment candidates find EVERY cont>=0.9 pair
+    (pigeonhole guarantee) on both the driver boundary path and the forced
+    distributed one — the LSH-piggybacked pass missed 8 of 12 planted
+    pairs at J~0.26."""
+    from raydedup.config import EngineConfig
+    from raydedup.stages import candidates as C
+    from raydedup.stages import containment as CT
+    from raydedup.stages.containment import containment_pairs
+    from raydedup.stages.ingest import ingest
+    from raydedup.stages.signatures import compute_signatures
+
+    cfg = EngineConfig()
+    sigs = compute_signatures(
+        ingest(rd.from_arrow(_containment_fixture()).repartition(3)),
+        cfg).materialize()
+    expect = _expected_containment(
+        sigs.select_columns(["id", "shingles"]).to_pandas())
+    assert len(expect) >= 5, "fixture must plant containment pairs"
+
+    for force in (False, True):
+        if force:
+            monkeypatch.setattr(C, "DRIVER_SMALL_LIMIT", 0)
+            monkeypatch.setattr(CT, "DRIVER_SMALL_LIMIT", 0)
+        out = containment_pairs(sigs, cfg) \
+            .filter(expr="match_kind == 'substring'").to_pandas()
+        got = {(int(r.id_a), int(r.id_b)) for r in out.itertuples()}
+        assert got == expect, (force, got ^ expect)
+        assert (out.containment >= 0.9).all()
+        assert (out.jaccard < 0.7).all()
+
+
 # ----------------------------------------- lang-id non-ASCII punctuation
 
 def test_lang_id_non_ascii_punct_excluded_from_denominator():

@@ -2,7 +2,17 @@
 # vs oracle_sql() exactly; stricter than the driver (bitwise float compare).
 """Local driver-sim: run queries() vs oracle_sql() at a given sf dir,
 compare row count / schema / exact values after sorting columns by name and
-rows by all columns."""
+rows by all columns.
+
+Usage: check_correctness.py [SF_DIR | --planted] [only1,only2] [--json OUT]
+  --planted  build the planted-duplicate corpus (tools/planted_corpus.py —
+             exact dups + containment pairs the shipped testdata lacks) and
+             run against it, so exact_dup_groups / substring_pairs are
+             exercised at > 0 rows instead of passing vacuously.
+  --json OUT additionally write structured per-query results to OUT.
+"""
+import json
+import os
 import sys
 import time
 
@@ -10,8 +20,21 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+args = [a for a in sys.argv[1:]]
+JSON_OUT = None
+if "--json" in args:
+    i = args.index("--json")
+    JSON_OUT = args[i + 1]
+    del args[i:i + 2]
+if args and args[0] == "--planted":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from planted_corpus import build_planted
+    SF = build_planted()
+    args = args[1:]
+else:
+    SF = args[0] if args else "/root/testdata/sf0.01"
+    args = args[1:]
+ONLY = args[0].split(",") if args else None
 
 import ray
 
@@ -37,6 +60,7 @@ for t in TABLES:
 qs = E.queries()
 oracles = E.oracle_sql()
 results = {}
+records = {}
 for name, fn in qs.items():
     if ONLY and name not in ONLY:
         continue
@@ -55,15 +79,18 @@ for name, fn in qs.items():
         import traceback
         traceback.print_exc()
         results[name] = f"QUERY ERROR: {e}"
+        records[name] = {"status": "query_error", "err": str(e)}
         continue
     dt = time.time() - t0
     if name not in oracles:
         results[name] = f"no_oracle rows={len(df)} ({dt:.1f}s)"
+        records[name] = {"status": "no_oracle", "rows": len(df)}
         continue
     try:
         odf = con.execute(oracles[name]).fetchdf()
     except Exception as e:
         results[name] = f"ORACLE ERROR: {e}"
+        records[name] = {"status": "oracle_error", "err": str(e)}
         continue
     df = df[sorted(df.columns)]
     odf = odf[sorted(odf.columns)]
@@ -97,7 +124,15 @@ for name, fn in qs.items():
                                f"{[(av[i], bv[i]) for i in bad]}")
     status = "OK" if (ok_rows and ok_schema and ok_vals) else "FAIL"
     results[name] = f"{status} rows={len(df)} ({dt:.1f}s) " + "; ".join(msg)
+    records[name] = {"status": status.lower(), "rows": len(df),
+                     "oracle_rows": len(odf), "rows_match": ok_rows,
+                     "schema_match": ok_schema, "values_match": ok_vals,
+                     "secs": round(dt, 1), "detail": "; ".join(msg)}
 
 for k, v in results.items():
     print(f"{k:28s} {v}")
+if JSON_OUT:
+    with open(JSON_OUT, "w") as f:
+        json.dump({"sf_dir": SF, "results": records}, f, indent=2)
+    print(f"wrote {JSON_OUT}")
 ray.shutdown()
