@@ -450,8 +450,12 @@ def minhash_signatures(shingles: np.ndarray, sh_offsets: np.ndarray,
     mins = np.minimum.reduceat(v, starts)
     sig.ravel()[fi[starts]] = mins
 
-    # rotation densification: nearest filled bin to the left, cyclic —
-    # double-width cummax over filled positions, fully vectorized
+    return _densify_rotate(sig, P)
+
+
+def _densify_rotate(sig: np.ndarray, P: int) -> np.ndarray:
+    """Rotation densification: nearest filled bin to the left, cyclic —
+    double-width cummax over filled positions, fully vectorized."""
     filled = sig != SENTINEL64
     any_filled = filled.any(axis=1)
     if filled.all():
@@ -465,6 +469,31 @@ def minhash_signatures(shingles: np.ndarray, sh_offsets: np.ndarray,
     need = (~filled) & (src_pos >= 0) & any_filled[:, None]
     sig = np.where(need, borrowed, sig)
     return sig
+
+
+def minhash_from_sorted_unique(uflat: np.ndarray, uoffs: np.ndarray,
+                               num_perm: int) -> np.ndarray:
+    """OPH MinHash signatures straight from per-doc SORTED-unique shingle
+    arrays (segmented_unique output) — value-IDENTICAL to
+    minhash_signatures on the raw stream, with NO sort at all: the OPH bin
+    is the top log2(P) bits of the hash, so value-ascending order is also
+    bin-ascending, and the FIRST value of each (doc, bin) run is that
+    bin's minimum. This folds the signature stage's two overlapping
+    lexsorts (unique + per-bin argsort) into the single unique sort."""
+    n = len(uoffs) - 1
+    P = num_perm
+    assert P & (P - 1) == 0, "num_perm must be a power of two for OPH"
+    sig = np.full((n, P), SENTINEL64, dtype=U64)
+    if len(uflat) == 0 or n == 0:
+        return sig
+    counts = (uoffs[1:] - uoffs[:-1]).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    shift = U64(64 - int(np.log2(P)))
+    bins = (uflat >> shift).astype(np.int64)
+    fi = doc_idx * P + bins              # nondecreasing by construction
+    starts = np.nonzero(np.r_[True, fi[1:] != fi[:-1]])[0]
+    sig.ravel()[fi[starts]] = uflat[starts]
+    return _densify_rotate(sig, P)
 
 
 def perm_seeds(num_perm: int, seed: int) -> np.ndarray:

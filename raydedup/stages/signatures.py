@@ -39,14 +39,17 @@ class SignatureActor:
         flat, offs = K.tokenize_hash_arrow(batch.column("content"),
                                            lowercase=cfg.shingle.lowercase)
         sh, so = K.shingle_hashes(flat, offs, cfg.shingle.k)
-        sig = K.minhash_signatures(sh, so, self.perm)
         sim = K.simhash64(sh, so) if self.with_simhash else \
             np.zeros(len(so) - 1, dtype=np.uint64)
 
-        # unique shingle set per doc (for exact-Jaccard verification):
-        # ONE batch-wide segmented sort over (doc, shingle) + boundary diff
-        # instead of a per-doc np.unique Python loop.
+        # ONE batch-wide (doc, shingle) sort serves BOTH the per-doc unique
+        # shingle sets (exact-Jaccard verification) AND the OPH MinHash
+        # minima (bin = top hash bits, so value order is bin order and each
+        # (doc, bin) run's first value is its min) — the stage previously
+        # paid two overlapping lexsorts, ~60% of flagship wall.
         uflat, uoffs = K.segmented_unique(sh, so)
+        sig = K.minhash_from_sorted_unique(uflat, uoffs,
+                                           cfg.minhash.num_perm)
 
         n_shingles = (uoffs[1:] - uoffs[:-1]).astype(np.int64)
         # prepend 0 back: uoffs already has n+1 entries

@@ -191,6 +191,29 @@ def test_partitioned_stage_purges_stale_high_parts(tmp_path):
     assert meta["cfg_hash"] == "h4" and meta["num_parts"] == 4
 
 
+# --------------------------------------------- one-sort signature kernel
+
+def test_minhash_from_sorted_unique_parity():
+    """OPH signatures built from the sorted-unique shingle arrays must be
+    value-identical to the raw-stream construction (the flagship's one-sort
+    signature path must not shift a single n_pairs invariant)."""
+    from raydedup import kernels as K
+
+    rng = np.random.default_rng(17)
+    P = 128
+    perm = K.perm_seeds(P, 42)
+    counts = np.array([0, 1, 3, 200, 17, 0, 64, 1000], dtype=np.int64)
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    # heavy duplication inside docs exercises the unique collapse
+    vals = rng.integers(0, 1 << 20, size=int(offs[-1]), dtype=np.uint64)
+    vals = K.splitmix64(vals)
+    old = K.minhash_signatures(vals, offs, perm)
+    uflat, uoffs = K.segmented_unique(vals, offs)
+    new = K.minhash_from_sorted_unique(uflat, uoffs, P)
+    assert (old == new).all()
+
+
 # ------------------------------------------------------- pack mask lookup
 
 def test_token_hash_mask_lookup_parity():
