@@ -186,12 +186,14 @@ class CheckpointManager:
                           fn: Callable[[ray.data.Dataset], ray.data.Dataset],
                           num_parts: int,
                           chunk_parts: Optional[int] = None,
+                          key_col: str = "id",
                           ) -> ray.data.Dataset:
         """Partition-granular checkpoint (north_star "checkpoints
         per-partition signatures ... so the pipeline resumes mid-shuffle"):
 
-        - `pre()` yields the cheap upstream Dataset carrying an int64 `id`;
-          rows are assigned ckpt_part = hash63(id) % num_parts.
+        - `pre()` yields the cheap upstream Dataset carrying a nonnegative
+          int64 `key_col` (docs: their id; pair stages: a precomputed pair
+          hash); rows are assigned ckpt_part = key % num_parts.
         - `fn(ds)` is the EXPENSIVE stage body; it runs only over rows of
           partitions without a committed marker, so a resumed run pays the
           cheap scan but skips finished partitions' compute.
@@ -209,7 +211,7 @@ class CheckpointManager:
         step = chunk_parts or max(1, len(missing))
         for c in range(0, len(missing), step):
             chunk = missing[c:c + step]
-            self._run_part_chunk(name, pre, fn, num_parts, chunk)
+            self._run_part_chunk(name, pre, fn, num_parts, chunk, key_col)
         ds = ray.data.read_parquet(out, file_extensions=["parquet"])
         drop = [col for col in (ds.schema().names if ds.schema() else [])
                 if col == "ckpt_part"]
@@ -239,7 +241,8 @@ class CheckpointManager:
                 }, f, indent=2)
         return ds
 
-    def _run_part_chunk(self, name, pre, fn, num_parts, chunk) -> None:
+    def _run_part_chunk(self, name, pre, fn, num_parts, chunk,
+                        key_col: str = "id") -> None:
         import numpy as np
         import pyarrow as pa
 
@@ -247,7 +250,7 @@ class CheckpointManager:
         want = np.array(sorted(chunk), dtype=np.int64)
 
         def tag(t: pa.Table) -> pa.Table:
-            ids = t.column("id").to_numpy(zero_copy_only=False) \
+            ids = t.column(key_col).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
             part = ids % np.int64(num_parts)
             pos = np.clip(np.searchsorted(want, part), 0, len(want) - 1)

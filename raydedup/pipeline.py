@@ -205,10 +205,51 @@ def run_pipeline(code_files: ray.data.Dataset,
     # expanded back to exact-group members so the pair list matches the
     # reference's all-pairs semantics (embedding_distance_mixin.py:41-83).
     from raydedup.stages.expand import expand_to_members
-    verified = staged("verified_pairs", lambda: exact_pairs.union(
-        expand_to_members(
-            V.verify_pairs(C.candidate_pairs(rep_sigs, cfg), rep_sigs, cfg),
-            sha_sort, sigs, cfg)))
+    if ckpt is not None:
+        # partition-granular resume for the second-most-expensive stage:
+        # candidate pairs are checkpointed once (a sort — cheap to redo),
+        # then VERIFICATION runs per ckpt_part = pair_hash % P with
+        # per-part commit markers, so a kill mid-verify loses at most one
+        # chunk of partitions. Expansion + the exact-pair union stay in the
+        # final (cheap) stage whose body just rereads the partition files.
+        P = cfg.ckpt_num_parts
+
+        def _pair_key_col(t: pa.Table) -> pa.Table:
+            a = t.column("id_a").to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+            b = t.column("id_b").to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+            from raydedup import kernels as K
+            key = K.to_i63(K.splitmix64(K.splitmix64(a) ^ b))
+            return t.append_column("ckpt_key", pa.array(key, pa.int64()))
+
+        def _with_pair_part(ds):
+            def add(t: pa.Table) -> pa.Table:
+                kt = _pair_key_col(t)
+                key = kt.column("ckpt_key").to_numpy(zero_copy_only=False)
+                return t.append_column(
+                    "ckpt_part", pa.array(key % np.int64(P), pa.int64()))
+
+            return ds.map_batches(add, batch_format="pyarrow")
+
+        cands = ckpt.stage("candidates",
+                           lambda: C.candidate_pairs(rep_sigs, cfg))
+        rep_verified = ckpt.partitioned_stage(
+            "verified_rep_pairs",
+            lambda: cands.map_batches(_pair_key_col,
+                                      batch_format="pyarrow"),
+            lambda ds: _with_pair_part(V.verify_pairs(ds, rep_sigs, cfg)),
+            num_parts=P, chunk_parts=cfg.ckpt_chunk_parts,
+            key_col="ckpt_key")
+        _lap("verified_rep_pairs")
+        verified = staged("verified_pairs", lambda: exact_pairs.union(
+            expand_to_members(rep_verified, sha_sort, sigs, cfg)))
+    else:
+        verified = staged("verified_pairs", lambda: exact_pairs.union(
+            expand_to_members(
+                V.verify_pairs(C.candidate_pairs(rep_sigs, cfg),
+                               rep_sigs, cfg),
+                sha_sort, sigs, cfg)))
 
     result = DedupResult(ingested=I.ingest(code_files), signatures=sigs,
                          verified_pairs=verified)

@@ -214,6 +214,45 @@ def test_minhash_from_sorted_unique_parity():
     assert (old == new).all()
 
 
+# --------------------------------- partition-granular verified_pairs ckpt
+
+def test_verified_pairs_partitioned_resume(tmp_path):
+    """Verification is checkpointed per ckpt_part = pair_hash % P: losing a
+    committed partition recomputes ONLY it (plus the cheap final union) and
+    the resumed run reproduces the identical pair set."""
+    import shutil
+
+    from raydedup import corpus
+    from raydedup.pipeline import run_on_parquet
+
+    code_dir, _ = corpus.write_corpus(str(tmp_path / "c"), 200, seed=11,
+                                      num_files=2)
+    ck = str(tmp_path / "ck")
+    res1 = run_on_parquet(code_dir, ckpt_dir=ck)
+    vp1 = res1.verified_pairs.to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(vp1) > 0
+    vdir = os.path.join(ck, "verified_rep_pairs")
+    markers = [f for f in os.listdir(vdir) if f.endswith(".done.json")]
+    assert len(markers) == 16
+    nonempty = [d for d in sorted(os.listdir(vdir))
+                if d.startswith("ckpt_part=")
+                and any(f.endswith(".parquet")
+                        for f in os.listdir(os.path.join(vdir, d)))]
+    assert nonempty, "corpus must produce rep-level verified pairs"
+    a = nonempty[0]
+    ai = a.split("=")[1]
+    shutil.rmtree(os.path.join(vdir, a))
+    os.remove(os.path.join(vdir, f"part={ai}.done.json"))
+    os.remove(os.path.join(ck, "verified_pairs.manifest.json"))
+
+    res2 = run_on_parquet(code_dir, ckpt_dir=ck)
+    vp2 = res2.verified_pairs.to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert vp1.equals(vp2)
+    assert os.path.isdir(os.path.join(vdir, a))
+
+
 # ------------------------------------------------------- pack mask lookup
 
 def test_token_hash_mask_lookup_parity():
