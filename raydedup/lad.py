@@ -74,9 +74,19 @@ def single_linkage_merges(dist: np.ndarray):
     return merges
 
 
-def lad_ranking(dist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def lad_ranking(dist: np.ndarray,
+                global_leaves: bool = False
+                ) -> tuple[np.ndarray, np.ndarray]:
     """-> (scores, indices) in the reference's RANKING ORDER with the
     reference's cumulative score VALUES.
+
+    global_leaves=False (reference default): child interval ratios are
+    computed against the NODE's own leaf count (lad_scoring.py:100 —
+    n_leaves is reset to node.count at every pop because children inherit
+    None). global_leaves=True: every ratio uses the ROOT's leaf count
+    (lad_scoring.py:156,165 — children inherit the first-set n_leaves), so
+    intervals shrink toward zero and late-merging singletons dominate even
+    more strongly.
 
     The reference's off-topic ranking IS the dendrogram DFS emission order
     with the SMALLER subtree visited first (lad_scoring.py:103-108: children
@@ -155,10 +165,16 @@ def lad_ranking(dist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             leaf_dist = dist_parent
             continue
         lc, rc = left[node], right[node]
-        if size[lc] > size[rc]:
+        # smaller subtree left (reference lad_scoring.py:103-108); on EQUAL
+        # sizes keep the earlier-formed (smaller-id) cluster left — a
+        # deterministic convention for degenerate equal-distance merges
+        # (documented deviation: scipy's to_tree child order on such ties
+        # is an internal artifact we do not replicate)
+        if size[lc] > size[rc] or (size[lc] == size[rc] and lc > rc):
             lc, rc = rc, lc
-        p_left = size[lc] / size[node]
-        p_right = size[rc] / size[node]
+        denom = n if global_leaves else size[node]
+        p_left = size[lc] / denom
+        p_right = size[rc] / denom
         w_left = start + (end - start) * p_left
         w_right = start + (end - start) * p_right
         stack.append((rc, w_left, w_right, h))
@@ -166,9 +182,10 @@ def lad_ranking(dist: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(out_scores), np.asarray(out_idx, dtype=np.int64)
 
 
-def lad_scores(dist: np.ndarray) -> np.ndarray:
+def lad_scores(dist: np.ndarray,
+               global_leaves: bool = False) -> np.ndarray:
     """Per-leaf cumulative scores indexed by leaf id (see lad_ranking)."""
-    scores, idx = lad_ranking(dist)
+    scores, idx = lad_ranking(dist, global_leaves=global_leaves)
     out = np.zeros(len(dist))
     out[idx] = scores
     return out

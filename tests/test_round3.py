@@ -388,6 +388,43 @@ def test_containment_pairs_exact_recall(monkeypatch):
         assert (out.jaccard < 0.7).all()
 
 
+# --------------------------------------------- LAD global_leaves variant
+
+def test_lad_global_leaves_hand_computed():
+    """3-leaf dendrogram ((0,1)@0.2, +2@0.8), hand-computed
+    (reference lad_scoring.py:100,156,165 n_leaves propagation):
+    local and global modes agree at the root (denominator = root count)
+    and diverge below it — node (0,1) splits at 1/2 locally but at 1/3
+    of the TOTAL leaves globally, shrinking the child intervals."""
+    from raydedup.lad import lad_ranking
+
+    d = np.array([[0.0, 0.2, 0.8],
+                  [0.2, 0.0, 0.8],
+                  [0.8, 0.8, 0.0]])
+    s_loc, o_loc = lad_ranking(d, global_leaves=False)
+    assert list(o_loc) == [2, 0, 1]
+    assert s_loc == pytest.approx([7 / 15, 0.7, 0.7])
+    s_glo, o_glo = lad_ranking(d, global_leaves=True)
+    assert list(o_glo) == [2, 0, 1]
+    assert s_glo == pytest.approx([7 / 15, 31 / 45, 31 / 45])
+
+
+def test_lad_equal_distance_ties_deterministic():
+    """Degenerate all-equal distances: the smaller-id-left tie rule makes
+    the ranking deterministic (documented convention) and every leaf is
+    emitted exactly once with monotone nondecreasing cumulative scores."""
+    from raydedup.lad import lad_ranking
+
+    n = 6
+    d = np.full((n, n), 0.5)
+    np.fill_diagonal(d, 0.0)
+    s1, o1 = lad_ranking(d)
+    s2, o2 = lad_ranking(d)
+    assert (o1 == o2).all() and (s1 == s2).all()
+    assert sorted(o1) == list(range(n))
+    assert (np.diff(s1) >= -1e-12).all()
+
+
 # ----------------------------------------- lang-id non-ASCII punctuation
 
 def test_lang_id_non_ascii_punct_excluded_from_denominator():
