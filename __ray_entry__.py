@@ -344,6 +344,18 @@ def _q_approx_nn_ranking(sf_dir: str):
 _IVF_N_CELLS, _IVF_N_PROBE, _IVF_SEED = 16, 4, 7
 
 
+def _q_ivf_cosine_pairs(sf_dir: str):
+    """IVF-bucketed threshold pairs — the scale path beside the all-pairs
+    cosine_pairs surface (same random-projection bucketing as
+    ivf_nn_ranking; its SQL oracle replays the candidate adjacency +
+    scoring exactly)."""
+    from raydedup.stages.embedding import ivf_cosine_pairs, load_embeddings
+    return ivf_cosine_pairs(
+        load_embeddings(f"{sf_dir}/embeddings.parquet"), threshold=0.4,
+        n_cells=_IVF_N_CELLS, n_probe=_IVF_N_PROBE, seed=_IVF_SEED,
+        trained=False)
+
+
 def _q_ivf_nn_ranking(sf_dir: str):
     """IVF-bucketed per-item NN — the scale path for the reference's Annoy
     ANN (embedding_distance_mixin.py:92-127: Annoy exists precisely to
@@ -382,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_off_topic": _q_quantile_off_topic,
         "approx_nn_ranking": _q_approx_nn_ranking,
         "ivf_nn_ranking": _q_ivf_nn_ranking,
+        "ivf_cosine_pairs": _q_ivf_cosine_pairs,
     }
 
 
@@ -451,23 +464,21 @@ _CC_CTES = _PAIR_CTES + r""", und AS (
 )"""
 
 
-def _ivf_nn_sql() -> str:
-    """SQL replay of the IVF-bucketed per-item NN: the seeded
-    random-projection centroids are inlined as DOUBLE[] literals (D=64, the
-    driver embeddings' dimension at every sf), then cell assignment (argmax
-    rounded cosine, lowest cell on ties), the n_probe probe graph, the
-    bucketed candidate join, and the (sim desc, nn asc) ranking are all
-    computed IN SQL — an independent implementation of everything the
-    distributed path does after centroid construction. All similarities
-    round with the shared floor(x*1e9+0.5)/1e9 formula on both sides."""
+def _ivf_ctes() -> str:
+    """Shared SQL prelude replaying the engine's IVF bucketing: seeded
+    random-projection centroids inlined as DOUBLE[] literals (D=64, the
+    driver embeddings' dimension at every sf), cell assignment (argmax
+    rounded cosine, lowest cell on ties) and the n_probe probe graph —
+    an independent implementation of everything the distributed path does
+    after centroid construction. All similarities round with the shared
+    floor(x*1e9+0.5)/1e9 formula on both sides."""
     from raydedup.stages.embedding import rp_centroids
     cents = rp_centroids(_IVF_N_CELLS, 64, _IVF_SEED)
     rows = ",\n              ".join(
         "({}, CAST([{}] AS DOUBLE[]))".format(
             i, ", ".join(repr(float(x)) for x in cents[i]))
         for i in range(len(cents)))
-    return f"""
-        WITH cents(cell, v) AS (VALUES
+    return f"""cents(cell, v) AS (VALUES
               {rows}
         ), asn AS (
           SELECT vec_id, cell, e FROM (
@@ -486,7 +497,14 @@ def _ivf_nn_sql() -> str:
                          / 1e9 DESC, b.cell ASC) AS rn
             FROM cents a CROSS JOIN cents b
           ) WHERE rn <= {_IVF_N_PROBE}
-        ), sims AS (
+        )"""
+
+
+def _ivf_nn_sql() -> str:
+    """Per-item NN on top of the shared IVF replay (_ivf_ctes): bucketed
+    candidate join + (sim desc, nn asc) ranking, all in SQL."""
+    return f"""
+        WITH {_ivf_ctes()}, sims AS (
           SELECT a.vec_id AS seed_idx, b.vec_id AS nn_idx,
                  floor(list_cosine_similarity(a.e, b.e) * 1e9 + 0.5) / 1e9
                      AS sim
@@ -503,6 +521,30 @@ def _ivf_nn_sql() -> str:
                floor(sqrt(2.0 * (1.0 - least(greatest(sim, -1.0), 1.0)))
                      * 1e9 + 0.5) / 1e9 AS nn_dist
         FROM ranked WHERE rank <= 4
+    """
+
+
+def _ivf_pairs_sql() -> str:
+    """Threshold pairs on top of the shared IVF replay: a pair qualifies
+    when its cells are probe-adjacent in either direction (canonicalized +
+    DISTINCT mirrors the engine's two-sided emission + dedupe)."""
+    return f"""
+        WITH {_ivf_ctes()}, cand AS (
+          SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+                 greatest(a.vec_id, b.vec_id) AS id_b
+          FROM asn a
+          JOIN cprobe p ON p.c = a.cell
+          JOIN asn b ON b.cell = p.d AND b.vec_id <> a.vec_id
+        ), scored AS (
+          SELECT c.id_a, c.id_b,
+                 floor(list_cosine_similarity(x.e, y.e) * 1e9 + 0.5) / 1e9
+                     AS cosine_sim
+          FROM cand c
+          JOIN asn x ON x.vec_id = c.id_a
+          JOIN asn y ON y.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, cosine_sim FROM scored
+        WHERE cosine_sim >= 0.4
     """
 
 
@@ -716,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 4
         """,
         "ivf_nn_ranking": _ivf_nn_sql(),
+        "ivf_cosine_pairs": _ivf_pairs_sql(),
         "lang_id": _lang_id_sql(),
         "minhash_dup_pairs": f"""
             WITH {_PAIR_CTES}

@@ -370,10 +370,10 @@ def rp_centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
     return _normalize(rng.standard_normal((n_cells, dim)))
 
 
-def _ivf_nn_rows(ds: ray.data.Dataset, kk: int, id_col: str,
-                 n_cells: int, n_probe: int, seed: int,
-                 trained: bool = True) -> ray.data.Dataset:
-    """IVF-bucketed per-item NN candidate rows (seed_idx, nn_idx, sim).
+def _ivf_route(ds: ray.data.Dataset, id_col: str,
+               n_cells: int, n_probe: int, seed: int,
+               trained: bool = True) -> ray.data.Dataset:
+    """IVF bucketing shared by the per-item-NN and threshold-pair paths.
 
     1. Build C cells — spherical-k-means centroids trained on a bounded
        driver-side sample (trained=True, better recall) or seeded
@@ -381,22 +381,21 @@ def _ivf_nn_rows(ds: ray.data.Dataset, kk: int, id_col: str,
        the engine so a SQL oracle can replay the exact bucketing);
        broadcast (ray.put) centroids + the REVERSE probe map rev[d] =
        {c : d among the n_probe cells nearest centroid c}.
-       Assignment / probe / ranking similarities are all rounded to 1e-9
+       Assignment / probe / scoring similarities are all rounded to 1e-9
        (shared floor formula) before any argmax / sort, so an external
        replay with different float op order lands on the same cells.
-    2. Route (map_batches): every row is emitted once as a SEED of its own
-       cell and once as a CANDIDATE into each group of rev[own_cell] —
-       candidate duplication ~= n_probe, seeds never duplicated, so each
-       (seed, cand) pair is scored at most once.
-    3. One groupby(cell).map_groups per cell: sims = seeds @ candidates.T
-       (self excluded by id), per-seed top-kk under the deterministic
-       (sim desc, nn asc) order.
+    2. Route (map_batches): every row is emitted once as a SEED (role 0)
+       of its own cell and once as a CANDIDATE (role 1) into each group of
+       rev[own_cell] — candidate duplication ~= n_probe, seeds never
+       duplicated, so each (seed, cand) pair is scored at most once.
 
-    Compute is sum_c |c| x |probed(c)| dot products — sub-quadratic when
-    cells spread; a single giant duplicate cluster degenerates to one hot
-    cell (that cell's block is quadratic in its size, the LSH plane's
-    sha-representative collapse is the engine's answer for exact dups).
-    Partitioning assumption: one hash shuffle by cell id (<= C keys)."""
+    Downstream: one groupby("grp").map_groups computes the per-cell
+    seeds x candidates similarity tile. Compute is sum_c |c| x |probed(c)|
+    dot products — sub-quadratic when cells spread; a single giant
+    duplicate cluster degenerates to one hot cell (that cell's tile is
+    quadratic in its size; the LSH plane's sha-representative collapse is
+    the engine's answer for exact dups). Partitioning assumption: one hash
+    shuffle by cell id (<= C keys)."""
     n = ds.count()
     if n_cells <= 0:
         # ~sqrt(N)/2 cells: avg cell ~ 2 sqrt(N) rows keeps every seed's
@@ -448,7 +447,16 @@ def _ivf_nn_rows(ds: ray.data.Dataset, kk: int, id_col: str,
             .append_column("role", pa.array(np.ones(total, np.int8)))
         return pa.concat_tables([seeds, cands])
 
-    routed = ds.map_batches(route, batch_format="pyarrow")
+    return ds.map_batches(route, batch_format="pyarrow")
+
+
+def _ivf_nn_rows(ds: ray.data.Dataset, kk: int, id_col: str,
+                 n_cells: int, n_probe: int, seed: int,
+                 trained: bool = True) -> ray.data.Dataset:
+    """IVF-bucketed per-item NN candidate rows (seed_idx, nn_idx, sim):
+    per-cell tiles emit each seed's top-kk under the deterministic
+    (sim desc, nn asc) order (see _ivf_route for the bucketing)."""
+    routed = _ivf_route(ds, id_col, n_cells, n_probe, seed, trained)
 
     empty = pa.schema([("seed_idx", pa.int64()), ("nn_idx", pa.int64()),
                        ("sim", pa.float64())]).empty_table()
@@ -479,6 +487,51 @@ def _ivf_nn_rows(ds: ray.data.Dataset, kk: int, id_col: str,
 
     return routed.groupby("grp").map_groups(
         score_cell, batch_format="pyarrow")
+
+
+def ivf_cosine_pairs(ds: ray.data.Dataset, threshold: float,
+                     id_col: str = "vec_id", n_cells: int = 0,
+                     n_probe: int = 8, seed: int = 42,
+                     trained: bool = True) -> ray.data.Dataset:
+    """IVF-bucketed threshold pairs — the scale path beside cosine_pairs'
+    all-pairs block tiles: (id_a < id_b, cosine_sim >= threshold) emitted
+    for every pair whose cells are probe-adjacent in EITHER direction.
+    Rounded (1e-9) sims on both the filter and the output so the
+    trained=False flavor is replayable by a SQL oracle; a pair reachable
+    from both endpoints is deduped by a (id_a, id_b) max-aggregate (the
+    two sims are identical by construction)."""
+    from ray.data.aggregate import Max
+    routed = _ivf_route(ds, id_col, n_cells, n_probe, seed, trained)
+
+    empty = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("cosine_sim", pa.float64())]).empty_table()
+
+    def score_cell(t: pa.Table) -> pa.Table:
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        s_mask, c_mask = role == 0, role == 1
+        if not s_mask.any() or not c_mask.any():
+            return empty
+        st, ct = t.filter(pa.array(s_mask)), t.filter(pa.array(c_mask))
+        ids_s = st.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids_c = ct.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sims = _round9(
+            _normalize(_emb_matrix(st)) @ _normalize(_emb_matrix(ct)).T)
+        sims[ids_s[:, None] == ids_c[None, :]] = -2.0     # exclude self
+        ia, ib = np.nonzero(sims >= threshold)
+        a, b = ids_s[ia], ids_c[ib]
+        return pa.table({
+            "id_a": pa.array(np.minimum(a, b), pa.int64()),
+            "id_b": pa.array(np.maximum(a, b), pa.int64()),
+            "cosine_sim": pa.array(sims[ia, ib], pa.float64()),
+        })
+
+    pairs = routed.groupby("grp").map_groups(
+        score_cell, batch_format="pyarrow")
+    out = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine_sim", alias_name="cosine_sim"))
+    return out
 
 
 def ivf_knn_search(ds: ray.data.Dataset, queries: np.ndarray,

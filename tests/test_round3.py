@@ -144,6 +144,29 @@ def test_ivf_nn_recall_gate_noisy_clusters():
     assert recall >= 0.95, recall
 
 
+def test_ivf_cosine_pairs_matches_brute_on_clusters():
+    """Clustered fixture: the IVF-bucketed threshold pairs equal the
+    all-pairs cosine_pairs surface exactly (in-cluster pairs land in
+    probe-adjacent cells), with canonical deduped output."""
+    from raydedup.stages.embedding import cosine_pairs, ivf_cosine_pairs
+
+    mat, ids = _clustered(6, 15, 24, noise=0.1, seed=19)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(mat))})
+    thr = 0.8
+    brute = cosine_pairs(rd.from_arrow(tbl), thr).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    ivf = ivf_cosine_pairs(rd.from_arrow(tbl), thr, n_cells=8, n_probe=4,
+                           seed=19).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(brute) > 50
+    assert (brute[["id_a", "id_b"]].values
+            == ivf[["id_a", "id_b"]].values).all()
+    assert np.allclose(brute.cosine_sim, ivf.cosine_sim, atol=2e-9)
+    assert (ivf.id_a < ivf.id_b).all()
+    assert not ivf.duplicated(["id_a", "id_b"]).any()
+
+
 def test_rp_centroids_deterministic():
     """Random-projection cells are seeded + unit-norm: the SQL oracle
     inlines byte-identical literals."""
