@@ -3,9 +3,10 @@ equivalents (column names match exactly; driver sorts columns by name and
 value-hashes).
 
 Ray is initialised by the driver BEFORE import; nothing here calls ray.init.
-Non-SQL-expressible ops (MinHash/LSH/CC, SimHash, lang-id) have no oracle
-entry -> the driver records a rows-only check; their real gates are the
-brute-force-oracle pytest fixtures (tests/test_pipeline.py).
+Every query has a DuckDB oracle — including the hash-defined planes
+(MinHash/LSH via the exact-Jaccard ground truth; SimHash via a generated
+SQL replay of the engine's token-hash -> shingle -> bit-vote chain;
+lang-id via the argmax rule) — so the driver value-hash-checks all of them.
 """
 
 from __future__ import annotations
@@ -591,6 +592,116 @@ def _lang_id_sql() -> str:
     """
 
 
+def _simhash_sql() -> str:
+    """Generated DuckDB oracle for simhash_dup_pairs: replays the ENGINE's
+    exact hash chain (kernels.py token-hash spec -> 5-gram poly shingles ->
+    64-bit majority vote, kernels.simhash64) in pure SQL, then brute-forces
+    ALL doc pairs at Hamming <= 3 — independently checking both the banding
+    recall guarantee (any pair at d <= 3 shares one of the 4 16-bit bands)
+    and the fingerprint values bit-for-bit.
+
+    All mod-2^64 arithmetic goes through HUGEINT with 32-bit constant limbs
+    (a 64x64 product overflows signed INT128: split c = chi*2^32 + clo so
+    a*clo <= 2^96 and (a & 0xFFFFFFFF)*chi <= 2^64)."""
+    m64 = "18446744073709551616"
+    a1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    poly = 0x100000001B3
+
+    def u64(e):
+        return f"CAST({e} AS UBIGINT)"
+
+    def mulc(a, c):
+        clo, chi = c & 0xFFFFFFFF, c >> 32
+        t1 = f"CAST({a} AS HUGEINT) * {clo}"
+        t2 = (f"((CAST(({a}) & 4294967295 AS HUGEINT) * {chi})"
+              f" % 4294967296) * 4294967296")
+        return u64(f"((({t1}) + ({t2})) % {m64})")
+
+    def addm(a, b):
+        return u64(f"((CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT)) % {m64})")
+
+    def sm64(x):
+        # splitmix64 over a SMALL expression (column ref / lambda var only:
+        # textual expansion is ~32x the argument)
+        s1 = addm(x, a1)
+        s2 = f"xor({s1}, ({s1}) >> 30)"
+        s3 = mulc(s2, c2)
+        s4 = f"xor({s3}, ({s3}) >> 27)"
+        s5 = mulc(s4, c3)
+        s6 = f"xor({s5}, ({s5}) >> 31)"
+        return s6
+
+    # token-hash spec (kernels.py:99-143): first 8 bytes packed LE, then per
+    # extra byte b: val = splitmix64(val)*POLY + b; final = splitmix64(val)
+    pack = "(" + " + ".join(
+        f"CASE WHEN length(tok) >= {i + 1} THEN "
+        f"CAST(ord(substr(tok, {i + 1}, 1)) AS UBIGINT) * {1 << (8 * i)} "
+        f"ELSE 0 END" for i in range(8)) + ")"
+    tail_lambda = f"(a, b) -> {addm(mulc(sm64('a'), poly), 'b')}"
+    roll_lambda = f"(a, b) -> {addm(mulc('a', poly), 'b')}"
+    vote_sums = ", ".join(
+        f"sum(CAST((h >> {b}) & 1 AS HUGEINT)) AS s{b}" for b in range(64))
+    vote_val = u64("((" + " + ".join(
+        f"CASE WHEN 2 * s{b} > cnt THEN CAST('{1 << b}' AS HUGEINT) "
+        f"ELSE CAST(0 AS HUGEINT) END" for b in range(64)) + f") % {m64})")
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(replace(replace(text, chr(13) || chr(10), chr(10)),
+                                    chr(13), chr(10)),
+                            '[0-9A-Za-z_]+|[^0-9A-Za-z_\s]') AS tl
+  FROM documents
+), tok AS (
+  SELECT doc_id, i AS tok_idx, tl[i] AS tok
+  FROM toks, unnest(range(1, len(tl) + 1)) AS r(i)
+), packed AS (
+  SELECT doc_id, tok_idx,
+         CASE WHEN length(tok) <= 8 THEN {u64(pack)}
+              ELSE list_reduce(
+                     list_prepend({u64(pack)},
+                       list_transform(range(9, length(tok) + 1),
+                                      j -> {u64('ord(substr(tok, j, 1))')})),
+                     {tail_lambda})
+         END AS val
+  FROM tok
+), thash AS (
+  SELECT doc_id, tok_idx, {sm64('val')} AS h FROM packed
+), w AS (
+  SELECT doc_id, h AS h0,
+         lead(h, 1) OVER wd AS h1, lead(h, 2) OVER wd AS h2,
+         lead(h, 3) OVER wd AS h3, lead(h, 4) OVER wd AS h4,
+         count(*) OVER (PARTITION BY doc_id) AS L
+  FROM thash
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY tok_idx)
+), p1 AS (SELECT doc_id, h2, h3, h4, {addm(mulc('h0', poly), 'h1')} AS a
+          FROM w WHERE L >= 5 AND h4 IS NOT NULL
+), p2 AS (SELECT doc_id, h3, h4, {addm(mulc('a', poly), 'h2')} AS a FROM p1
+), p3 AS (SELECT doc_id, h4, {addm(mulc('a', poly), 'h3')} AS a FROM p2
+), p4 AS (SELECT doc_id, {addm(mulc('a', poly), 'h4')} AS a FROM p3
+), shfull AS (
+  SELECT doc_id, {sm64('a')} AS h FROM p4
+), shortacc AS (
+  -- docs with 0 < L < 5 tokens: ONE shingle over the whole token run
+  SELECT doc_id, list_reduce(list(h ORDER BY tok_idx), {roll_lambda}) AS a
+  FROM thash
+  WHERE doc_id IN (SELECT doc_id FROM w WHERE L < 5)
+  GROUP BY doc_id
+), shrow AS (
+  SELECT doc_id, h FROM shfull
+  UNION ALL SELECT doc_id, {sm64('a')} AS h FROM shortacc
+), votes AS (
+  SELECT doc_id, count(*) AS cnt, {vote_sums} FROM shrow GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {vote_val} AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dup_groups": """
@@ -760,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_nn_ranking": _ivf_nn_sql(),
         "ivf_cosine_pairs": _ivf_pairs_sql(),
         "lang_id": _lang_id_sql(),
+        "simhash_dup_pairs": _simhash_sql(),
         "minhash_dup_pairs": f"""
             WITH {_PAIR_CTES}
             SELECT id_a, id_b, j AS jaccard, d AS distance,
