@@ -300,6 +300,123 @@ def _q_substring_pairs(sf_dir: str):
                                ("containment", pa.float64())]))
 
 
+def _planted_docs(sf_dir: str, with_copies: bool,
+                  with_containers: bool) -> ray.data.Dataset:
+    """Deterministic planted-duplicate derivation of the driver documents
+    table, computed IDENTICALLY by the SQL oracles: the shipped testdata has
+    zero exact-duplicate texts and zero containment pairs at every sf, so
+    the exact-dup and substring operators would only ever pass vacuously
+    (0 rows both sides) against it. Plants (all vectorized Arrow kernels):
+
+    - copies: doc_id % 50 == 0 re-emitted at +10M, doc_id % 100 == 0 again
+      at +20M -> sha groups of size 3 and 2;
+    - containers: doc_id % 50 == 0 emitted at +30M as
+      text || '\\n' || reverse(text) -> the source doc's shingle set is
+      fully contained (containment 1.0) while the reversed half contributes
+      only disjoint shingles (Jaccard ~ 0.5 < 0.7) — exactly the substring
+      regime. (reverse() is per-codepoint on both sides; driver documents
+      are ASCII.)
+    """
+    import pyarrow.compute as pc
+    base = _documents(sf_dir).select_columns(
+        ["doc_id", "text", "lang", "source"])
+
+    def derived(off: int, mod: int, container: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            # doc_id % mod == 0 (pyarrow has no modulo kernel; ids >= 0)
+            keep = pc.equal(
+                pc.subtract(t.column("doc_id"),
+                            pc.multiply(pc.divide(t.column("doc_id"),
+                                                  pa.scalar(mod)),
+                                        pa.scalar(mod))),
+                pa.scalar(0))
+            t = t.filter(keep)
+            text = t.column("text")
+            if container:
+                text = pc.binary_join_element_wise(
+                    pc.cast(text, pa.string()),
+                    pc.utf8_reverse(pc.cast(text, pa.string())), "\n")
+            return pa.table({
+                "doc_id": pc.add(pc.cast(t.column("doc_id"), pa.int64()),
+                                 pa.scalar(off, pa.int64())),
+                "text": pc.cast(text, t.column("text").type),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+            })
+        return fn
+
+    out = base
+    if with_copies:
+        out = out.union(
+            base.map_batches(derived(10_000_000, 50, False),
+                             batch_format="pyarrow"),
+            base.map_batches(derived(20_000_000, 100, False),
+                             batch_format="pyarrow"))
+    if with_containers:
+        out = out.union(base.map_batches(derived(30_000_000, 50, True),
+                                         batch_format="pyarrow"))
+    return out
+
+
+# SQL mirror of _planted_docs (same arithmetic, same reverse())
+_PLANT_COPIES_SQL = """
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL SELECT doc_id + 10000000, text, lang, source FROM documents
+            WHERE doc_id % 50 = 0
+  UNION ALL SELECT doc_id + 20000000, text, lang, source FROM documents
+            WHERE doc_id % 100 = 0
+"""
+_PLANT_CONTAINERS_SQL = """
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL SELECT doc_id + 30000000, text || chr(10) || reverse(text),
+                   lang, source FROM documents
+            WHERE doc_id % 50 = 0
+"""
+
+
+def _q_planted_dup_groups(sf_dir: str):
+    """exact_dup_groups over the planted-copies corpus: the non-vacuous
+    gate for the sha256 exact-dup plane (the base query returns 0 groups on
+    the shipped testdata)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from raydedup.stages.ingest import docs_to_code, ingest
+    ing = ingest(docs_to_code(_planted_docs(sf_dir, True, False)))
+    g = ing.groupby("content_sha256").aggregate(Count(alias_name="n_copies"))
+    out = g.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_copies"), pa.scalar(1))),
+        batch_format="pyarrow")
+    return _collect(out, pa.schema([("content_sha256", pa.string()),
+                                    ("n_copies", pa.int64())]))
+
+
+def _q_planted_substring_pairs(sf_dir: str):
+    """substring_pairs over the planted-containers corpus: non-vacuous gate
+    for the containment/substring plane (containment 1.0, Jaccard < 0.7)."""
+    from raydedup.stages.containment import containment_pairs
+    from raydedup.stages.ingest import docs_to_code, ingest
+    from raydedup.stages.signatures import compute_signatures
+    cfg = _cfg()
+    sigs = compute_signatures(
+        ingest(docs_to_code(_planted_docs(sf_dir, False, True))),
+        cfg).materialize()
+    sub = containment_pairs(sigs, cfg) \
+        .filter(expr="match_kind == 'substring'")
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": t.column("id_a"), "id_b": t.column("id_b"),
+            "jaccard": t.column("jaccard"),
+            "containment": t.column("containment"),
+        })
+
+    return _collect(sub.map_batches(fmt, batch_format="pyarrow"),
+                    pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("jaccard", pa.float64()),
+                               ("containment", pa.float64())]))
+
+
 def _q_embedding_near_dup_pairs(sf_dir: str):
     from raydedup.stages.embedding import cosine_pairs, load_embeddings
     return cosine_pairs(load_embeddings(f"{sf_dir}/embeddings.parquet"),
@@ -392,6 +509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "session_windows": _q_session_windows,
         "substring_pairs": _q_substring_pairs,
+        "planted_dup_groups": _q_planted_dup_groups,
+        "planted_substring_pairs": _q_planted_substring_pairs,
         "quantile_off_topic": _q_quantile_off_topic,
         "approx_nn_ranking": _q_approx_nn_ranking,
         "ivf_nn_ranking": _q_ivf_nn_ranking,
@@ -405,10 +524,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # containment pairs; exact-text pairs; dist_p = all distance-metric pairs
 # (exact at d=0 + near-dup at d=1-J, J >= 0.7) — the SQL ground truth the
 # MinHash/LSH plane must reproduce. Used by every pair-derived oracle.
-_PAIR_CTES = r"""toks AS (
+# Parameterized by the source relation so the planted-corpus variants can
+# run the identical chain over a derived table.
+def _pair_ctes(src: str = "documents") -> str:
+    return rf"""toks AS (
   SELECT doc_id, text, regexp_extract_all(text, '\w+|[^\w\s]') AS t
-  FROM documents
-), sh AS (
+  FROM {src}
+)""" + _PAIR_CTES_BODY.replace("FROM documents a", f"FROM {src} a") \
+        .replace(f"JOIN documents b", f"JOIN {src} b")
+
+
+_PAIR_CTES_BODY = r""", sh AS (
   SELECT doc_id, CASE WHEN len(t) >= 5
     THEN list_distinct(list_transform(range(1, len(t) - 3),
          i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2]
@@ -446,6 +572,8 @@ _PAIR_CTES = r"""toks AS (
     ON e.id_a = q.id_a AND e.id_b = q.id_b
   WHERE q.j >= 0.7 AND e.id_a IS NULL
 )"""
+
+_PAIR_CTES = _pair_ctes()
 
 # Connected components over dist_p: undirected transitive closure
 # (recursive CTE) + min-reachable-id label; singletons map to themselves.
@@ -880,6 +1008,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "substring_pairs": f"""
             WITH {_PAIR_CTES}
+            SELECT id_a, id_b, j AS jaccard, cont AS containment
+            FROM jacc WHERE j < 0.7 AND cont >= 0.9
+        """,
+        "planted_dup_groups": f"""
+            WITH pl AS ({_PLANT_COPIES_SQL})
+            SELECT sha256(text) AS content_sha256, count(*) AS n_copies
+            FROM pl GROUP BY 1 HAVING count(*) > 1
+        """,
+        "planted_substring_pairs": f"""
+            WITH pl AS ({_PLANT_CONTAINERS_SQL}), {_pair_ctes('pl')}
             SELECT id_a, id_b, j AS jaccard, cont AS containment
             FROM jacc WHERE j < 0.7 AND cont >= 0.9
         """,

@@ -84,11 +84,9 @@ def ingest(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(_ingest_batch, batch_format="pyarrow")
 
 
-def documents_as_code_files(sf_dir: str) -> ray.data.Dataset:
-    """Map the driver `documents` table (doc_id,text,lang,source,n_chars) onto
-    the input_hint shape, keeping id = doc_id so SQL oracles can key on it."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "lang", "source"])
+def docs_to_code(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Map a documents-shaped Dataset (doc_id,text,lang,source) onto the
+    input_hint shape, keeping id = doc_id so SQL oracles can key on it."""
 
     def to_code(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -101,3 +99,10 @@ def documents_as_code_files(sf_dir: str) -> ray.data.Dataset:
         })
 
     return ds.map_batches(to_code, batch_format="pyarrow")
+
+
+def documents_as_code_files(sf_dir: str) -> ray.data.Dataset:
+    """docs_to_code over the driver `documents` parquet table."""
+    return docs_to_code(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"]))
