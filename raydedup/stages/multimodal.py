@@ -2,12 +2,12 @@
 typed metadata; decode / feature-extract / resize / frame-sample as actor-pool
 map_batches stages.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-codec step is gated: `DecodeImageActor(fake=True)` produces a deterministic
-fake decode (seeded from the payload bytes) with the real schema, batch-size
-and actor plumbing; `fake=False` raises NotImplementedError at the exact point
-a real decoder would plug in. Everything Ray-side (schema, actor signature,
-zero-copy batches, output layout) is real and tested.
+The decode path is REAL for PPM/PGM/BMP payloads (pure-numpy codecs in
+raydedup.codecs: parse -> bilinear resize -> 64-dim visual descriptor); only
+compressed codecs (JPEG/PNG/video frames) are gated behind
+NotImplementedError because PIL/ffmpeg are not in this container.
+`DecodeImageActor(fake=True)` remains available as a deterministic
+payload-seeded stub for payloads with no decodable format at all.
 """
 
 from __future__ import annotations
@@ -17,6 +17,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+from raydedup import codecs
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -29,10 +31,28 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synthesize_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table for tests/benches (payload = seeded
-    pseudo-random bytes; no real codecs involved)."""
+def synthesize_media(n: int, seed: int = 42,
+                     real_images: bool = False) -> pa.Table:
+    """Deterministic media table for tests/benches.
+
+    real_images=False: payload = seeded pseudo-random bytes (opaque blobs for
+    plumbing tests). real_images=True: every row is an ACTUAL encoded image
+    (alternating PPM/BMP from codecs.synthesize_image) so the real decode
+    path runs end to end with correct width/height metadata."""
     rng = np.random.default_rng(seed)
+    if real_images:
+        rows = [codecs.synthesize_image(i, seed,
+                                        "ppm" if i % 2 == 0 else "bmp")
+                for i in range(n)]
+        return pa.table({
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array([r[0] for r in rows], pa.large_binary()),
+            "mime": pa.array([r[1] for r in rows], pa.string()),
+            "width": pa.array([r[2] for r in rows], pa.int32()),
+            "height": pa.array([r[3] for r in rows], pa.int32()),
+            "duration_ms": pa.array([-1] * n, pa.int32()),
+        })
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads = [rng.integers(0, 256, int(rng.integers(256, 4096)),
                              dtype=np.uint8).tobytes() for _ in range(n)]
@@ -53,31 +73,39 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
 class DecodeImageActor:
     """Actor-pool stage: payload bytes -> fixed-size feature vector.
 
-    Real path (fake=False) would do: PIL.Image.open -> RGB -> resize(target) ->
-    np.asarray -> embed; stubbed per the container constraints. Fake path is a
-    deterministic 64-dim feature from sha256(payload) so downstream stages
-    (similarity search, dedup over features) are exercised end to end.
+    Real path (fake=False): codecs.decode_image (PPM/PGM/BMP, pure numpy) ->
+    bilinear resize -> codecs.image_features 64-dim descriptor, per row.
+    Per-row iteration is irreducible here (each payload has its own
+    dimensions), but all per-image work is vectorized numpy.
+
+    Fake path (fake=True) is a deterministic 64-dim feature from
+    sha256(payload) for media with undecodable/absent formats so downstream
+    stages (similarity search, dedup over features) still run end to end.
     """
 
-    TARGET = (224, 224)
-    FEAT_DIM = 64
+    TARGET = codecs.TARGET
+    FEAT_DIM = codecs.FEAT_DIM
 
     def __init__(self, fake: bool = True):
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "image decode requires PIL/torchvision, not present in this "
-                "environment; construct with fake=True for the deterministic "
-                "stub (real plumbing, fake pixels)")
+
+    def _fake_feature(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.sha256(payload or b"").digest()
+        seed = int.from_bytes(digest[:8], "little")
+        return np.random.default_rng(seed).standard_normal(
+            self.FEAT_DIM).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
+        mimes = batch.column("mime").to_pylist() \
+            if "mime" in batch.column_names else [None] * len(payloads)
         feats = np.empty((len(payloads), self.FEAT_DIM), dtype=np.float32)
-        for i, p in enumerate(payloads):
-            digest = hashlib.sha256(p or b"").digest()
-            seed = int.from_bytes(digest[:8], "little")
-            feats[i] = np.random.default_rng(seed).standard_normal(
-                self.FEAT_DIM).astype(np.float32)
+        for i, (p, mime) in enumerate(zip(payloads, mimes)):
+            if self.fake:
+                feats[i] = self._fake_feature(p)
+            else:
+                feats[i] = codecs.image_features(
+                    codecs.decode_image(p, mime or ""))
         flat = pa.array(feats.ravel(), pa.float32())
         offs = pa.array(np.arange(0, (len(payloads) + 1) * self.FEAT_DIM,
                                   self.FEAT_DIM, dtype=np.int32))

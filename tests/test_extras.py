@@ -79,8 +79,16 @@ def test_multimodal_fake_decode_deterministic():
 
 
 def test_multimodal_real_decode_gated():
+    """Compressed codecs still gate at the exact decode point; PPM/BMP are
+    real (covered in test_round3)."""
+    actor = multimodal.DecodeImageActor(fake=False)
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([b"\x89PNG..."], pa.large_binary()),
+        "mime": pa.array(["image/png"], pa.string()),
+    })
     with pytest.raises(NotImplementedError):
-        multimodal.DecodeImageActor(fake=False)
+        actor(batch)
 
 
 def test_frame_sample_only_videos():

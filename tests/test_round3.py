@@ -465,3 +465,67 @@ def test_lang_id_non_ascii_punct_excluded_from_denominator():
     assert list(out.pred_lang) == ["es", "en"]
     assert out.lang_score.iloc[0] == pytest.approx(4 / 5)
     assert out.lang_score.iloc[1] == pytest.approx(1.0)
+
+
+# ----------------------------------------- real image decode (PPM/BMP)
+
+def test_codecs_roundtrip_and_dispatch():
+    """Pure-numpy codecs: encode->decode identity for P6 and 24-bit BMP
+    (odd widths exercise row padding), P5 broadcast, maxval rescale."""
+    from raydedup import codecs
+
+    rng = np.random.default_rng(3)
+    for h, w in [(5, 7), (24, 33), (1, 1)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(img)), img)
+        assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+    g = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    d = codecs.decode_ppm(b"P5\n# c\n6 4\n255\n" + g.tobytes())
+    assert d.shape == (4, 6, 3) and np.array_equal(d[..., 2], g)
+    d2 = codecs.decode_ppm(b"P5\n2 1\n63\n" + bytes([0, 63]))
+    assert d2[0, 0, 0] == 0 and d2[0, 1, 0] == 255
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image(b"\x89PNG", "image/png")
+
+
+def test_codecs_resize_and_features():
+    from raydedup import codecs
+
+    rng = np.random.default_rng(4)
+    const = np.full((10, 17, 3), 88, np.uint8)
+    assert np.allclose(codecs.resize_bilinear(const, (32, 32)), 88.0)
+    same = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert np.allclose(codecs.resize_bilinear(same, (32, 32)),
+                       same.astype(np.float32))
+    f = codecs.image_features(rng.integers(0, 256, (40, 50, 3),
+                                           dtype=np.uint8))
+    assert f.shape == (codecs.FEAT_DIM,) and f.dtype == np.float32
+    assert (f >= 0).all() and (f <= 1.0).all()
+
+
+def test_multimodal_real_decode_end_to_end():
+    """fake=False over REAL encoded images (alternating PPM/BMP) through the
+    actor-pool Dataset stage: per-row features equal the direct
+    decode->descriptor computation, and near-identical images land close."""
+    from raydedup import codecs
+    from raydedup.stages import multimodal
+
+    media = multimodal.synthesize_media(24, seed=5, real_images=True)
+    out = multimodal.decode_features(rd.from_arrow(media), fake=False,
+                                     concurrency=2).to_pandas()
+    assert len(out) == 24
+    payloads = {m: (p, mi) for m, p, mi in zip(
+        media.column("media_id").to_pylist(),
+        media.column("payload").to_pylist(),
+        media.column("mime").to_pylist())}
+    for mid, feat in zip(out.media_id, out.feature):
+        p, mime = payloads[int(mid)]
+        expect = codecs.image_features(codecs.decode_image(p, mime))
+        assert np.allclose(np.asarray(feat), expect), mid
+    # same image encoded as PPM vs BMP -> identical pixels -> identical
+    # features (codec-invariant descriptor)
+    img = np.random.default_rng(9).integers(0, 256, (30, 40, 3),
+                                            dtype=np.uint8)
+    fa = codecs.image_features(codecs.decode_ppm(codecs.encode_ppm(img)))
+    fb = codecs.image_features(codecs.decode_bmp(codecs.encode_bmp(img)))
+    assert np.array_equal(fa, fb)
