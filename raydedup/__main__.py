@@ -1,0 +1,116 @@
+"""Job entrypoint: `ray job submit -- python -m raydedup --input ... --output ...`
+
+Owns the Ray session (the library never calls ray.init): connects to the
+cluster named by RAY_ADDRESS (the address a `ray job submit` runtime
+injects), or starts a local one. Runs the flagship pipeline streaming end to
+end, consumes every result surface with write_parquet into per-surface
+directories (resumable output: one directory per surface, many files per
+directory — never one giant file), and writes a metrics JSON with wall
+time, row counts and throughput.
+
+North-star parity: "The job runs via ray job submit on fixed N-node and
+4N-node clusters with streaming execution end to end" (BASELINE.json);
+cluster sizing is external to the job — the same command works on any
+cluster size because every stage's parallelism follows the cluster CPU
+count, not a hardcoded node count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m raydedup",
+        description="Near-duplicate detection + cleaning ranking over a "
+                    "(repo,path,commit,lang,content) Parquet table.")
+    ap.add_argument("--input", required=True,
+                    help="input Parquet file/dir (input_hint shape)")
+    ap.add_argument("--output", required=True,
+                    help="output dir; one sub-dir of Parquet per surface")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="per-partition checkpoint dir (resume on rerun)")
+    ap.add_argument("--issues", default="near_duplicates",
+                    help="comma list: near_duplicates,off_topic,label_errors")
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="verify Jaccard threshold (default 0.7)")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local-mode CPU count (ignored under a cluster)")
+    ap.add_argument("--metrics-out", default=None,
+                    help="metrics JSON path (default <output>/metrics.json)")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        addr = os.environ.get("RAY_ADDRESS")
+        if addr and addr != "local":
+            ray.init(address=addr)
+        else:
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False)
+
+    from raydedup.config import EngineConfig, VerifyConfig
+    from raydedup.issues import IssueType
+    from raydedup.pipeline import run_on_parquet
+
+    cfg = EngineConfig()
+    if args.threshold is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, verify=dataclasses.replace(VerifyConfig(),
+                                            threshold=args.threshold))
+    def issue_of(s: str) -> IssueType:
+        # accept both enum VALUES (off_topic_samples) and NAMES (off_topic)
+        try:
+            return IssueType.canonical(s)
+        except ValueError:
+            return IssueType.canonical(IssueType[s.upper()])
+
+    issues = [issue_of(s.strip())
+              for s in args.issues.split(",") if s.strip()]
+
+    t0 = time.perf_counter()
+    res = run_on_parquet(args.input, cfg, issues_to_detect=issues,
+                         ckpt_dir=args.ckpt_dir)
+    surfaces = {
+        "verified_pairs": res.verified_pairs,
+        "clusters": res.clusters,
+        "duplicity": res.duplicity,
+        "ranked_pairs": res.ranked_pairs,
+        "label_errors": res.label_errors,
+    }
+    metrics: dict = {"input": args.input, "surfaces": {}}
+    n_rows = None
+    for name, ds in surfaces.items():
+        if ds is None:
+            continue
+        t1 = time.perf_counter()
+        out_dir = os.path.join(args.output, name)
+        ds.write_parquet(out_dir)
+        cnt = ds.count()
+        metrics["surfaces"][name] = {
+            "rows": cnt, "write_secs": round(time.perf_counter() - t1, 3),
+            "path": out_dir,
+        }
+        if name == "clusters":
+            n_rows = cnt
+    wall = time.perf_counter() - t0
+    metrics["wall_secs"] = round(wall, 3)
+    if n_rows:
+        metrics["files_per_s"] = round(n_rows / wall, 1)
+    mpath = args.metrics_out or os.path.join(args.output, "metrics.json")
+    os.makedirs(os.path.dirname(mpath) or ".", exist_ok=True)
+    with open(mpath, "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

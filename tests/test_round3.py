@@ -529,3 +529,29 @@ def test_multimodal_real_decode_end_to_end():
     fa = codecs.image_features(codecs.decode_ppm(codecs.encode_ppm(img)))
     fb = codecs.image_features(codecs.decode_bmp(codecs.encode_bmp(img)))
     assert np.array_equal(fa, fb)
+
+
+# ----------------------------------------- ray job submit entrypoint
+
+def test_job_entrypoint_writes_surfaces_and_metrics(tmp_path):
+    """`python -m raydedup` (the `ray job submit` target) end to end:
+    partitioned Parquet per surface + metrics JSON; reuses the session's
+    Ray (main() only inits when none exists)."""
+    import json
+
+    from raydedup import corpus
+    from raydedup.__main__ import main
+
+    code_dir, _ = corpus.write_corpus(str(tmp_path / "corp"), 150, seed=3,
+                                      num_files=2)
+    out = tmp_path / "out"
+    rc = main(["--input", code_dir, "--output", str(out),
+               "--issues", "near_duplicates,off_topic"])
+    assert rc == 0
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert set(metrics["surfaces"]) == {"verified_pairs", "clusters",
+                                        "duplicity", "ranked_pairs"}
+    import pyarrow.parquet as pq
+    cl = pq.read_table(str(out / "clusters"))
+    assert cl.num_rows == metrics["surfaces"]["clusters"]["rows"] > 0
+    assert {"id", "cluster_id"} <= set(cl.column_names)
