@@ -487,6 +487,18 @@ def _q_ivf_nn_ranking(sf_dir: str):
                              trained=False)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the driver embeddings: cluster
+    with the same seeded random-projection cells as ivf_nn_ranking, then
+    within-cluster keep-first in (centroid_sim ASC, id ASC) order at
+    eps=0.4 — the oracle replays the bucketing and the prior-row max in
+    SQL. The LLM-corpus companion to the pairwise near-dup surfaces."""
+    from raydedup.stages.embedding import load_embeddings, semantic_dedup
+    return semantic_dedup(
+        load_embeddings(f"{sf_dir}/embeddings.parquet"), eps=0.4,
+        n_cells=_IVF_N_CELLS, seed=_IVF_SEED, trained=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -515,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_nn_ranking": _q_approx_nn_ranking,
         "ivf_nn_ranking": _q_ivf_nn_ranking,
         "ivf_cosine_pairs": _q_ivf_cosine_pairs,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -674,6 +687,34 @@ def _ivf_pairs_sql() -> str:
         )
         SELECT id_a, id_b, cosine_sim FROM scored
         WHERE cosine_sim >= 0.4
+    """
+
+
+def _semantic_dedup_sql() -> str:
+    """SemDeDup replay on top of the shared IVF cell assignment: per-row
+    centroid_sim to the assigned cell, then the max cosine over all
+    STRICTLY-EARLIER same-cell rows in (centroid_sim ASC, vec_id ASC)
+    order — the paper's upper-triangular pair-matrix max in SQL."""
+    return f"""
+        WITH {_ivf_ctes()}, cs AS (
+          SELECT a.vec_id, a.cell, a.e,
+                 floor(list_cosine_similarity(a.e, c.v) * 1e9 + 0.5) / 1e9
+                     AS centroid_sim
+          FROM asn a JOIN cents c ON c.cell = a.cell
+        ), prior AS (
+          SELECT a.vec_id,
+                 max(floor(list_cosine_similarity(a.e, b.e) * 1e9 + 0.5)
+                     / 1e9) AS mp
+          FROM cs a JOIN cs b ON b.cell = a.cell
+           AND (b.centroid_sim < a.centroid_sim
+                OR (b.centroid_sim = a.centroid_sim
+                    AND b.vec_id < a.vec_id))
+          GROUP BY a.vec_id
+        )
+        SELECT c.vec_id, c.cell, c.centroid_sim,
+               coalesce(p.mp, -2.0) AS max_prior_sim,
+               CAST(coalesce(p.mp, -2.0) < 0.4 AS BIGINT) AS keep
+        FROM cs c LEFT JOIN prior p ON p.vec_id = c.vec_id
     """
 
 
@@ -998,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_nn_ranking": _ivf_nn_sql(),
         "ivf_cosine_pairs": _ivf_pairs_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "lang_id": _lang_id_sql(),
         "simhash_dup_pairs": _simhash_sql(),
         "minhash_dup_pairs": f"""

@@ -534,6 +534,77 @@ def ivf_cosine_pairs(ds: ray.data.Dataset, threshold: float,
     return out
 
 
+def semantic_dedup(ds: ray.data.Dataset, eps: float,
+                   id_col: str = "vec_id", n_cells: int = 0,
+                   seed: int = 42,
+                   trained: bool = True) -> ray.data.Dataset:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the coarse quantizer, then
+    within each cluster keep-first in (centroid_sim ASC, id ASC) order —
+    a row is dropped when ANY earlier row in that order has cosine
+    similarity >= eps to it (the paper's upper-triangular max over the
+    within-cluster pair matrix; ASC order implements its best-performing
+    "keep examples with LOW similarity to the centroid" variant).
+
+    The reference has no semantic-dedup surface — this extends the
+    near-duplicate plane (selfclean_cleaner.py:121-146 semantics) with the
+    standard LLM-corpus operator. One map_batches assigns (cell,
+    centroid_sim) against broadcast centroids; one groupby(cell) computes
+    the per-cluster pair tile. Compute is sum_c |c|^2 — sub-quadratic when
+    cells spread (default C ~ sqrt(N)/2), exactly the paper's own
+    per-cluster cost; a giant semantic cluster degenerates to one hot cell
+    (same documented caveat as _ivf_route). trained=False uses seeded
+    random-projection cells so a SQL oracle can replay the bucketing.
+
+    Output: (vec_id, cell, centroid_sim, max_prior_sim, keep) — keep=1
+    rows form the deduplicated corpus; max_prior_sim is -2.0 for the
+    first row of each cluster (no prior rows).
+    """
+    n = ds.count()
+    if n_cells <= 0:
+        n_cells = max(1, min(256, int(round(np.sqrt(n / 4.0)))))
+    n_cells = min(n_cells, max(1, n))
+    sample_tbl = pa.concat_tables(
+        ds.select_columns(["embedding"]).limit(
+            IVF_TRAIN_SAMPLE if trained else 1)
+        .iter_batches(batch_format="pyarrow", batch_size=IVF_TRAIN_SAMPLE))
+    smat = _normalize(_emb_matrix(sample_tbl))
+    cents = _train_centroids(smat, n_cells, seed) if trained \
+        else rp_centroids(n_cells, smat.shape[1], seed)
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        sims = _round9(_normalize(_emb_matrix(t)) @ cm.T)
+        cells = np.argmax(sims, axis=1)          # first-max = lowest cell
+        return t.select([id_col, "embedding"]) \
+            .append_column("cell", pa.array(cells, pa.int64())) \
+            .append_column("centroid_sim", pa.array(
+                sims[np.arange(t.num_rows), cells], pa.float64()))
+
+    def dedup_cell(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cs = t.column("centroid_sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cs))            # centroid_sim asc, id asc
+        m = _normalize(_emb_matrix(t))[order]
+        sims = _round9(m @ m.T)
+        # max over strictly-earlier rows in the keep order (triu max of
+        # the paper, transposed): mask j >= i then row-max
+        sims[np.triu_indices(len(order))] = -2.0
+        max_prior = sims.max(axis=1, initial=-2.0)
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "cell": t.column("cell").take(pa.array(order)),
+            "centroid_sim": pa.array(cs[order], pa.float64()),
+            "max_prior_sim": pa.array(max_prior, pa.float64()),
+            "keep": pa.array((max_prior < eps).astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("cell").map_groups(dedup_cell, batch_format="pyarrow")
+
+
 def ivf_knn_search(ds: ray.data.Dataset, queries: np.ndarray,
                    query_ids: np.ndarray, k: int, n_cells: int = 64,
                    n_probe: int = 8, seed: int = 42,

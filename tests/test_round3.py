@@ -176,6 +176,71 @@ def test_rp_centroids_deterministic():
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
 
 
+def test_semantic_dedup_planted_duplicates():
+    """SemDeDup on clusters with planted exact-duplicate vectors: one keep
+    per duplicate group (lowest id among ties), keep/drop consistent with
+    max_prior_sim vs eps, and every input row present exactly once."""
+    from raydedup.stages.embedding import semantic_dedup
+
+    mat, ids = _clustered(5, 12, 16, noise=0.15, seed=23)
+    # plant 4 exact copies of one vector and 3 of another (fresh ids)
+    dup_a, dup_b = mat[0], mat[30]
+    extra = np.vstack([np.tile(dup_a, (4, 1)), np.tile(dup_b, (3, 1))])
+    extra_ids = np.arange(9000, 9007, dtype=np.int64)
+    mat = np.vstack([mat, extra])
+    ids = np.concatenate([ids, extra_ids])
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(mat))})
+    # noisy cluster-mates reach cos ~0.98; only exact copies reach ~1.0,
+    # so eps=0.999 isolates the planted groups from cluster geometry
+    eps = 0.999
+    out = semantic_dedup(rd.from_arrow(tbl), eps=eps, n_cells=8,
+                         seed=23).to_pandas()
+    assert sorted(out.vec_id) == sorted(ids)                 # row-complete
+    assert ((out.max_prior_sim < eps) == (out.keep == 1)).all()
+    for dup_vec in (dup_a, dup_b):
+        group = ids[(mat == dup_vec).all(axis=1)]
+        sub = out[out.vec_id.isin(group)]
+        assert sub.keep.sum() == 1, sub
+        # identical vectors tie on centroid_sim -> keep-first is min id
+        assert sub.loc[sub.keep == 1, "vec_id"].iloc[0] == group.min()
+
+
+def test_semantic_dedup_numpy_parity():
+    """trained=False path vs an independent dense-numpy replay of the full
+    SemDeDup semantics (cell assignment, centroid_sim ASC / id ASC order,
+    strict-prior max) — exact value match on every column."""
+    from raydedup.stages.embedding import (_normalize, _round9,
+                                           rp_centroids, semantic_dedup)
+
+    mat, ids = _clustered(4, 10, 12, noise=0.3, seed=29)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(mat))})
+    n_cells, seed, eps = 6, 29, 0.6
+    out = semantic_dedup(rd.from_arrow(tbl), eps=eps, n_cells=n_cells,
+                         seed=seed, trained=False).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    cents = rp_centroids(n_cells, mat.shape[1], seed)
+    e = _normalize(mat)
+    sims_c = _round9(e @ cents.T)
+    cells = np.argmax(sims_c, axis=1)
+    csim = sims_c[np.arange(len(ids)), cells]
+    exp = {}
+    for c in np.unique(cells):
+        sel = np.nonzero(cells == c)[0]
+        order = sel[np.lexsort((ids[sel], csim[sel]))]
+        m = e[order]
+        sims = _round9(m @ m.T)
+        for i, gi in enumerate(order):
+            mp = sims[i, :i].max() if i else -2.0
+            exp[ids[gi]] = (int(c), csim[gi], mp, int(mp < eps))
+    for _, r in out.iterrows():
+        ec, ecs, emp, ek = exp[r.vec_id]
+        assert r.cell == ec and r.keep == ek
+        assert r.centroid_sim == ecs and r.max_prior_sim == emp
+
+
 # ---------------------------------------- stale checkpoint partition purge
 
 def test_partitioned_stage_purges_stale_high_parts(tmp_path):
