@@ -182,9 +182,12 @@ def run_scaling() -> dict:
     lo, hi = SCALE_LO, SCALE_HI
     # this host shows heavy run-to-run interference (shared machine); take
     # the best of SCALING_REPEATS per level — the minimum is the least-
-    # perturbed measurement of the engine itself
-    runs_lo = [one(lo) for _ in range(SCALING_REPEATS)]
-    runs_hi = [one(hi) for _ in range(SCALING_REPEATS)]
+    # perturbed measurement of the engine itself. Interleave (lo, hi) pairs
+    # so a load ramp during the pass hits both levels, not just one.
+    runs_lo, runs_hi = [], []
+    for _ in range(SCALING_REPEATS):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
