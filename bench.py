@@ -114,11 +114,23 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
             np.array(qt.column("vec_id").to_pylist(), dtype=np.int64),
             k=5).count()
 
+    # real-media decode microbench: 1.5k mixed PPM/BMP/PNG/WAV/y4m rows
+    # through the actor-pool decode stage (table built once, off the clock)
+    from raydedup.stages import multimodal
+    media_tbl = multimodal.synthesize_media(1500, seed=BENCH_SEED,
+                                            real_media=True)
+
+    def q_media_decode():
+        assert multimodal.decode_features(
+            rd.from_arrow(media_tbl), fake=False,
+            concurrency=max(2, num_cpus - 2)).count() == media_tbl.num_rows
+
     jobs = [("flagship_corpus_dedup", q_flagship),
             ("documents_dedup", q_documents),
             ("token_counts", q_token_counts),
             ("fingerprints", q_fingerprints),
-            ("embedding_knn", q_knn)]
+            ("embedding_knn", q_knn),
+            ("media_decode", q_media_decode)]
 
     # single-shot wall-times on this shared host swing 2-3x with cross-
     # tenant load; interleave >= 2 full passes over the pipeline sequence

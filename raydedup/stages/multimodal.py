@@ -2,12 +2,13 @@
 typed metadata; decode / feature-extract / resize / frame-sample as actor-pool
 map_batches stages.
 
-The decode path is REAL for PPM/PGM/BMP payloads (pure-numpy codecs in
-raydedup.codecs: parse -> bilinear resize -> 64-dim visual descriptor); only
-compressed codecs (JPEG/PNG/video frames) are gated behind
-NotImplementedError because PIL/ffmpeg are not in this container.
-`DecodeImageActor(fake=True)` remains available as a deterministic
-payload-seeded stub for payloads with no decodable format at all.
+The decode path is REAL for PPM/PGM/BMP/PNG images, 8/16-bit PCM WAV audio,
+and YUV4MPEG2 (.y4m) video (pure stdlib+numpy codecs in raydedup.codecs:
+parse -> resize/frame/resample -> 64-dim descriptor); only codecs that need
+external native libs (JPEG, H.26x, mp3) are gated behind NotImplementedError
+because PIL/ffmpeg are not in this container. `DecodeMediaActor(fake=True)`
+remains available as a deterministic payload-seeded stub for payloads with
+no decodable format at all.
 """
 
 from __future__ import annotations
@@ -31,18 +32,19 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synthesize_media(n: int, seed: int = 42,
-                     real_images: bool = False) -> pa.Table:
+def synthesize_media(n: int, seed: int = 42, real_images: bool = False,
+                     real_media: bool = False) -> pa.Table:
     """Deterministic media table for tests/benches.
 
-    real_images=False: payload = seeded pseudo-random bytes (opaque blobs for
-    plumbing tests). real_images=True: every row is an ACTUAL encoded image
-    (alternating PPM/BMP from codecs.synthesize_image) so the real decode
-    path runs end to end with correct width/height metadata."""
+    Default: payload = seeded pseudo-random bytes (opaque blobs for plumbing
+    tests). real_images=True: every row is an ACTUAL encoded image (cycling
+    PPM/BMP/PNG from codecs.synthesize_image). real_media=True: rows cycle
+    image / audio (WAV) / video (y4m) so every real decode branch runs end
+    to end with correct metadata."""
     rng = np.random.default_rng(seed)
     if real_images:
-        rows = [codecs.synthesize_image(i, seed,
-                                        "ppm" if i % 2 == 0 else "bmp")
+        fmts = ["ppm", "bmp", "png"]
+        rows = [codecs.synthesize_image(i, seed, fmts[i % 3])
                 for i in range(n)]
         return pa.table({
             "media_id": pa.array(np.arange(n), pa.int64()),
@@ -52,6 +54,33 @@ def synthesize_media(n: int, seed: int = 42,
             "width": pa.array([r[2] for r in rows], pa.int32()),
             "height": pa.array([r[3] for r in rows], pa.int32()),
             "duration_ms": pa.array([-1] * n, pa.int32()),
+        })
+    if real_media:
+        kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
+        img_fmts = ["ppm", "bmp", "png"]
+        for i in range(n):
+            if i % 3 == 0:
+                p, m, w, h = codecs.synthesize_image(i, seed,
+                                                     img_fmts[(i // 3) % 3])
+                kinds.append("image"); ws.append(w); hs.append(h)
+                durs.append(-1)
+            elif i % 3 == 1:
+                p, m, dur = codecs.synthesize_audio(i, seed)
+                kinds.append("audio"); ws.append(-1); hs.append(-1)
+                durs.append(dur)
+            else:
+                p, m, w, h, dur = codecs.synthesize_video(i, seed)
+                kinds.append("video"); ws.append(w); hs.append(h)
+                durs.append(dur)
+            payloads.append(p); mimes.append(m)
+        return pa.table({
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
         })
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads = [rng.integers(0, 256, int(rng.integers(256, 4096)),
@@ -70,13 +99,18 @@ def synthesize_media(n: int, seed: int = 42,
     })
 
 
-class DecodeImageActor:
+class DecodeMediaActor:
     """Actor-pool stage: payload bytes -> fixed-size feature vector.
 
-    Real path (fake=False): codecs.decode_image (PPM/PGM/BMP, pure numpy) ->
-    bilinear resize -> codecs.image_features 64-dim descriptor, per row.
+    Real path (fake=False) dispatches on the row's kind:
+      image -> codecs.decode_image (PPM/PGM/BMP/PNG) -> 64-dim visual
+               descriptor (grid means + luma histogram)
+      audio -> codecs.decode_wav (PCM WAV) -> 64-dim spectral/energy
+               descriptor
+      video -> codecs.video_features (y4m frame sample -> mean visual
+               descriptor)
     Per-row iteration is irreducible here (each payload has its own
-    dimensions), but all per-image work is vectorized numpy.
+    dimensions/length), but all per-item work is vectorized numpy.
 
     Fake path (fake=True) is a deterministic 64-dim feature from
     sha256(payload) for media with undecodable/absent formats so downstream
@@ -95,24 +129,40 @@ class DecodeImageActor:
         return np.random.default_rng(seed).standard_normal(
             self.FEAT_DIM).astype(np.float32)
 
+    def _real_feature(self, payload: bytes, mime: str,
+                      kind: str) -> np.ndarray:
+        if kind == "audio" or mime.startswith("audio/"):
+            return codecs.audio_features(*codecs.decode_wav(payload))
+        if kind == "video" or mime.startswith("video/"):
+            return codecs.video_features(payload)
+        return codecs.image_features(codecs.decode_image(payload, mime))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
         mimes = batch.column("mime").to_pylist() \
-            if "mime" in batch.column_names else [None] * len(payloads)
-        feats = np.empty((len(payloads), self.FEAT_DIM), dtype=np.float32)
-        for i, (p, mime) in enumerate(zip(payloads, mimes)):
+            if "mime" in batch.column_names else [""] * n
+        kinds = batch.column("kind").to_pylist() \
+            if "kind" in batch.column_names else [""] * n
+        feats = np.empty((n, self.FEAT_DIM), dtype=np.float32)
+        for i in range(n):
             if self.fake:
-                feats[i] = self._fake_feature(p)
+                feats[i] = self._fake_feature(payloads[i])
             else:
-                feats[i] = codecs.image_features(
-                    codecs.decode_image(p, mime or ""))
+                feats[i] = self._real_feature(payloads[i], mimes[i] or "",
+                                              kinds[i] or "")
         flat = pa.array(feats.ravel(), pa.float32())
-        offs = pa.array(np.arange(0, (len(payloads) + 1) * self.FEAT_DIM,
+        offs = pa.array(np.arange(0, (n + 1) * self.FEAT_DIM,
                                   self.FEAT_DIM, dtype=np.int32))
         return pa.table({
             "media_id": batch.column("media_id"),
             "feature": pa.ListArray.from_arrays(offs, flat),
         })
+
+
+# Back-compat alias (round-2 public name; images were the only real branch
+# then, the actor now handles all three kinds).
+DecodeImageActor = DecodeMediaActor
 
 
 def decode_features(media: ray.data.Dataset, concurrency: int = 4,
@@ -121,27 +171,79 @@ def decode_features(media: ray.data.Dataset, concurrency: int = 4,
     """Actor-pool decode stage. Small batch_size on purpose: media payloads
     are wide binary rows — batch x concurrency must fit worker heap."""
     return media.map_batches(
-        DecodeImageActor, fn_constructor_kwargs={"fake": fake},
+        DecodeMediaActor, fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency), num_cpus=1)
 
 
 def frame_sample(media: ray.data.Dataset, every_ms: int = 1000
                  ) -> ray.data.Dataset:
-    """Video rows -> one row per sampled frame timestamp (plumbing only; the
-    frame extraction itself would live in the decode actor)."""
+    """Video rows -> one row per sampled frame timestamp (timestamp plan
+    only; `frame_features` below decodes the planned frames)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        kinds = t.column("kind").to_pylist()
+        kinds = np.asarray(t.column("kind").to_pylist())
         durs = t.column("duration_ms").to_numpy(zero_copy_only=False)
         ids = t.column("media_id").to_numpy(zero_copy_only=False)
-        out_id, out_ts = [], []
-        for i, kind in enumerate(kinds):
-            if kind != "video" or durs[i] <= 0:
-                continue
-            for ts in range(0, int(durs[i]), every_ms):
-                out_id.append(int(ids[i])); out_ts.append(ts)
+        keep = (kinds == "video") & (durs > 0)
+        counts = np.where(keep, -(-durs // every_ms), 0).astype(np.int64)
+        out_id = np.repeat(ids, counts)
+        # per-video 0..k-1 ramp -> timestamps
+        ramp = np.arange(int(counts.sum()), dtype=np.int64) - \
+            np.repeat(np.cumsum(counts) - counts, counts)
         return pa.table({"media_id": pa.array(out_id, pa.int64()),
-                         "frame_ts_ms": pa.array(out_ts, pa.int32())})
+                         "frame_ts_ms": pa.array((ramp * every_ms)
+                                                 .astype(np.int32),
+                                                 pa.int32())})
 
     return media.map_batches(fn, batch_format="pyarrow")
+
+
+class FrameFeatureActor:
+    """Actor-pool stage: y4m video rows -> one (media_id, frame_ts_ms,
+    feature) row per sampled frame, decoding each sampled frame for real.
+    The y4m stream is parsed ONCE per row (y4m_info) and frames are sliced
+    at constant offsets."""
+
+    def __init__(self, every_ms: int = 1000):
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        out_id, out_ts, out_feat = [], [], []
+        for i, (p, kind) in enumerate(zip(payloads, kinds)):
+            if kind != "video":
+                continue
+            info = codecs.y4m_info(p)
+            if info["n_frames"] == 0:
+                continue
+            dur_ms = info["n_frames"] * 1000.0 / info["fps"]
+            for ts in range(0, int(dur_ms), self.every_ms):
+                idx = min(int(ts * info["fps"] / 1000.0),
+                          info["n_frames"] - 1)
+                out_id.append(int(ids[i]))
+                out_ts.append(ts)
+                out_feat.append(codecs.image_features(
+                    codecs.y4m_frame(p, idx, info)))
+        n = len(out_id)
+        flat = pa.array(np.concatenate(out_feat).ravel() if n else
+                        np.empty(0, np.float32), pa.float32())
+        offs = pa.array(np.arange(0, (n + 1) * codecs.FEAT_DIM,
+                                  codecs.FEAT_DIM, dtype=np.int32))
+        return pa.table({
+            "media_id": pa.array(out_id, pa.int64()),
+            "frame_ts_ms": pa.array(out_ts, pa.int32()),
+            "feature": pa.ListArray.from_arrays(offs, flat),
+        })
+
+
+def frame_features(media: ray.data.Dataset, every_ms: int = 1000,
+                   concurrency: int = 4, batch_size: int = 16
+                   ) -> ray.data.Dataset:
+    """Real frame-sampling stage: decode sampled y4m frames to features."""
+    return media.map_batches(
+        FrameFeatureActor, fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency), num_cpus=1)

@@ -79,13 +79,14 @@ def test_multimodal_fake_decode_deterministic():
 
 
 def test_multimodal_real_decode_gated():
-    """Compressed codecs still gate at the exact decode point; PPM/BMP are
-    real (covered in test_round3)."""
+    """Codecs that need native libs (JPEG) still gate at the exact decode
+    point; PPM/BMP/PNG/WAV/y4m are real (covered in test_round3 and
+    test_media_codecs)."""
     actor = multimodal.DecodeImageActor(fake=False)
     batch = pa.table({
         "media_id": pa.array([1], pa.int64()),
-        "payload": pa.array([b"\x89PNG..."], pa.large_binary()),
-        "mime": pa.array(["image/png"], pa.string()),
+        "payload": pa.array([b"\xff\xd8\xff\xe0"], pa.large_binary()),
+        "mime": pa.array(["image/jpeg"], pa.string()),
     })
     with pytest.raises(NotImplementedError):
         actor(batch)

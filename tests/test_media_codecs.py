@@ -1,0 +1,245 @@
+"""Round-3 media codec gates: real PNG / WAV / y4m decode paths
+(pure stdlib+numpy — see raydedup/codecs.py) and the generalized
+multimodal decode + frame-feature stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raydedup import codecs
+from raydedup.stages import multimodal
+
+
+# ----------------------------------------- PNG
+
+def _expected_rgb(img: np.ndarray) -> np.ndarray:
+    """What decode_png should return for an encoder input of any shape."""
+    if img.ndim == 2:
+        img = img[..., None]
+    ch = img.shape[2]
+    if ch in (1, 2):
+        return np.repeat(img[..., :1], 3, axis=2)
+    return np.ascontiguousarray(img[..., :3])
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    rng = np.random.default_rng(11)
+    shapes = [(5, 7), (1, 1), (16, 33, 3), (8, 9, 4), (6, 5, 2), (12, 3)]
+    for ft in range(5):
+        for shape in shapes:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            out = codecs.decode_png(codecs.encode_png(img, filter_type=ft))
+            assert np.array_equal(out, _expected_rgb(img)), (ft, shape)
+
+
+def test_png_gradient_compresses_and_roundtrips():
+    # a smooth gradient (the adversarial case for filter reconstruction)
+    yy, xx = np.mgrid[0:64, 0:48]
+    img = np.stack([(xx * 5 + yy) % 256, (yy * 3) % 256,
+                    (xx + yy * 7) % 256], axis=2).astype(np.uint8)
+    for ft in (1, 2, 3, 4):
+        payload = codecs.encode_png(img, filter_type=ft)
+        assert len(payload) < img.nbytes          # actually compressed
+        assert np.array_equal(codecs.decode_png(payload), img)
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    img = np.zeros((4, 4, 3), np.uint8)
+    good = bytearray(codecs.encode_png(img))
+    good[40] ^= 0xFF                               # flip a byte inside IDAT
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(good))
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"\x89PNG")              # truncated signature
+    import struct
+    import zlib
+
+    def chunk(ctype, payload):
+        return struct.pack(">I", len(payload)) + ctype + payload + \
+            struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 16-bit depth and palette color gate as NotImplementedError
+    for depth, ctype_ in [(16, 2), (8, 3)]:
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype_, 0, 0, 0)
+        buf = sig + chunk(b"IHDR", ihdr) + \
+            chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            codecs.decode_png(buf)
+    # Adam7 interlace gates too
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    buf = sig + chunk(b"IHDR", ihdr) + \
+        chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        codecs.decode_png(buf)
+
+
+def test_png_dispatch_and_codec_invariance():
+    img = np.random.default_rng(7).integers(0, 256, (20, 30, 3),
+                                            dtype=np.uint8)
+    via_mime = codecs.decode_image(codecs.encode_png(img, 4), "image/png")
+    assert np.array_equal(via_mime, img)
+    # identical pixels through PNG vs PPM -> identical descriptor
+    fa = codecs.image_features(codecs.decode_png(codecs.encode_png(img)))
+    fb = codecs.image_features(codecs.decode_ppm(codecs.encode_ppm(img)))
+    assert np.array_equal(fa, fb)
+    # JPEG remains honestly gated
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image(b"\xff\xd8\xff\xe0", "image/jpeg")
+
+
+# ----------------------------------------- WAV
+
+def test_wav_roundtrip_and_variants():
+    rng = np.random.default_rng(21)
+    samples = rng.integers(-32768, 32768, 1000, dtype=np.int16)
+    wave, rate = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+    assert rate == 8000
+    assert np.allclose(wave, samples.astype(np.float32) / 32768.0)
+    # 8-bit PCM: unsigned, centered at 128
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    data = bytes([0, 128, 255])
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    buf8 = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    w8, r8 = codecs.decode_wav(buf8)
+    assert r8 == 4000 and np.allclose(w8, [-1.0, 0.0, 127 / 128])
+    # stereo averages to mono
+    st = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    sdata = np.array([100, 300, -100, 100], dtype="<i2").tobytes()
+    sbody = b"fmt " + struct.pack("<I", len(st)) + st \
+        + b"data" + struct.pack("<I", len(sdata)) + sdata
+    sw, _ = codecs.decode_wav(b"RIFF" + struct.pack("<I", 4 + len(sbody))
+                              + b"WAVE" + sbody)
+    assert np.allclose(sw, [200 / 32768, 0.0])
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_audio_features_discriminate_frequency():
+    rate = 8000
+    t = np.arange(rate) / rate
+    lo = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    hi = np.sin(2 * np.pi * 3000 * t).astype(np.float32)
+    f_lo = codecs.audio_features(lo, rate)
+    f_hi = codecs.audio_features(hi, rate)
+    assert f_lo.shape == (codecs.FEAT_DIM,)
+    spec_lo, spec_hi = f_lo[32:], f_hi[32:]
+    assert np.argmax(spec_lo) < np.argmax(spec_hi)
+    # RMS of a unit sine ~ 0.707 in every frame; silence is all-zero
+    assert np.allclose(f_lo[:16], 1 / np.sqrt(2), atol=0.01)
+    assert np.array_equal(codecs.audio_features(np.zeros(0, np.float32),
+                                                rate),
+                          np.zeros(codecs.FEAT_DIM, np.float32))
+
+
+# ----------------------------------------- y4m
+
+def test_y4m_444_roundtrip_and_info():
+    rng = np.random.default_rng(31)
+    frames = [rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+              for _ in range(4)]
+    buf = codecs.encode_y4m(frames, fps=25, chroma="444")
+    info = codecs.y4m_info(buf)
+    assert (info["w"], info["h"], info["n_frames"]) == (16, 12, 4)
+    assert info["fps"] == 25.0
+    for i, f in enumerate(frames):
+        out = codecs.y4m_frame(buf, i, info)
+        # RGB->YUV->RGB through two uint8 roundings: small bounded error
+        assert np.abs(out.astype(int) - f.astype(int)).max() <= 3, i
+    with pytest.raises(IndexError):
+        codecs.y4m_frame(buf, 4, info)
+
+
+def test_y4m_420_subsampling():
+    # constant-color frames survive 4:2:0 exactly (chroma is constant)
+    img = np.full((8, 10, 3), 0, np.uint8)
+    img[..., 0] = 200
+    img[..., 2] = 40
+    buf = codecs.encode_y4m([img, img], fps=10, chroma="420")
+    info = codecs.y4m_info(buf)
+    assert info["chroma"] == "420"
+    out = codecs.y4m_frame(buf, 1, info)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+    with pytest.raises(ValueError):
+        codecs.y4m_info(b"YUV4MPEG2 W7 H4 F25:1 C420\n")   # odd w with 420
+    with pytest.raises(NotImplementedError):
+        codecs.y4m_info(b"YUV4MPEG2 W4 H4 F25:1 C411\n")
+
+
+def test_video_features_shape_and_determinism():
+    payload, mime, w, h, dur = codecs.synthesize_video(3, seed=5)
+    assert mime == "video/x-yuv4mpeg" and dur > 0
+    f1 = codecs.video_features(payload)
+    f2 = codecs.video_features(payload)
+    assert f1.shape == (codecs.FEAT_DIM,) and np.array_equal(f1, f2)
+
+
+# ----------------------------------------- generalized decode stage
+
+def test_real_media_decode_end_to_end(ray_session):
+    """fake=False over a mixed image/audio/video table: every row decodes
+    through its REAL codec branch and matches the direct computation."""
+    media = multimodal.synthesize_media(18, seed=13, real_media=True)
+    out = multimodal.decode_features(rd.from_arrow(media), fake=False,
+                                     concurrency=2).to_pandas()
+    assert len(out) == 18
+    rows = {m: (p, mi, k) for m, p, mi, k in zip(
+        media.column("media_id").to_pylist(),
+        media.column("payload").to_pylist(),
+        media.column("mime").to_pylist(),
+        media.column("kind").to_pylist())}
+    kinds_seen = set()
+    for mid, feat in zip(out.media_id, out.feature):
+        p, mime, kind = rows[int(mid)]
+        kinds_seen.add(kind)
+        if kind == "audio":
+            expect = codecs.audio_features(*codecs.decode_wav(p))
+        elif kind == "video":
+            expect = codecs.video_features(p)
+        else:
+            expect = codecs.image_features(codecs.decode_image(p, mime))
+        assert np.allclose(np.asarray(feat), expect), (mid, kind)
+    assert kinds_seen == {"image", "audio", "video"}
+
+
+def test_frame_features_real_frames(ray_session):
+    media = multimodal.synthesize_media(9, seed=17, real_media=True)
+    out = multimodal.frame_features(rd.from_arrow(media),
+                                    every_ms=100).to_pandas()
+    md = {m: (p, k) for m, p, k in zip(
+        media.column("media_id").to_pylist(),
+        media.column("payload").to_pylist(),
+        media.column("kind").to_pylist())}
+    assert len(out) > 0
+    for mid in out.media_id.unique():
+        assert md[int(mid)][1] == "video"
+    # spot-check one row against a direct frame decode
+    row = out.iloc[0]
+    payload = md[int(row.media_id)][0]
+    info = codecs.y4m_info(payload)
+    idx = min(int(row.frame_ts_ms * info["fps"] / 1000.0),
+              info["n_frames"] - 1)
+    expect = codecs.image_features(codecs.y4m_frame(payload, idx, info))
+    assert np.allclose(np.asarray(row.feature), expect)
+
+
+def test_frame_sample_vectorized_counts(ray_session):
+    """frame_sample plans ceil(duration/every_ms) timestamps per video and
+    nothing for other kinds (parity with the round-2 per-row loop)."""
+    media = multimodal.synthesize_media(64, seed=11)      # fake mixed kinds
+    every = 7_000
+    frames = multimodal.frame_sample(rd.from_arrow(media),
+                                     every_ms=every).to_pandas()
+    md = media.to_pandas().set_index("media_id")
+    expect_rows = 0
+    for mid, row in md.iterrows():
+        if row["kind"] == "video" and row["duration_ms"] > 0:
+            expect_rows += -(-int(row["duration_ms"]) // every)
+    assert len(frames) == expect_rows
+    for mid, grp in frames.groupby("media_id"):
+        dur = int(md.loc[mid, "duration_ms"])
+        assert md.loc[mid, "kind"] == "video"
+        assert sorted(grp.frame_ts_ms) == list(range(0, dur, every))

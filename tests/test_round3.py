@@ -550,7 +550,7 @@ def test_codecs_roundtrip_and_dispatch():
     d2 = codecs.decode_ppm(b"P5\n2 1\n63\n" + bytes([0, 63]))
     assert d2[0, 0, 0] == 0 and d2[0, 1, 0] == 255
     with pytest.raises(NotImplementedError):
-        codecs.decode_image(b"\x89PNG", "image/png")
+        codecs.decode_image(b"\xff\xd8\xff\xe0", "image/jpeg")
 
 
 def test_codecs_resize_and_features():
