@@ -12,9 +12,15 @@ beyond numpy + the stdlib:
 - video: YUV4MPEG2 (.y4m) C420/C444 -> per-frame RGB via BT.601 ->
   frame sampling + per-frame visual descriptor
 
+- baseline JPEG (ITU T.81 sequential DCT): full marker parse, canonical
+  Huffman entropy decode, batched einsum IDCT, 4:4:4/4:2:0/4:2:2 chroma,
+  restart intervals; the encoder emits valid baseline JPEG with per-image
+  fixed-length Huffman tables
+
 so the decode path is REAL for all of those (decode -> bilinear resize ->
 64-dim feature); only codecs that genuinely need external native libs
-(JPEG, H.26x, vorbis/mp3) remain gated behind NotImplementedError.
+(progressive/arithmetic JPEG, H.26x, vorbis/mp3) remain gated behind
+NotImplementedError.
 
 Reference analog: the SelfClean embedding stage consumes decoded image
 tensors from torchvision loaders (selfclean/cleaner/selfclean.py:268-283);
@@ -295,9 +301,11 @@ def decode_image(buf: bytes, mime: str) -> np.ndarray:
         return decode_bmp(buf)
     if mime == "image/png":
         return decode_png(buf)
+    if mime == "image/jpeg":
+        return decode_jpeg(buf)
     raise NotImplementedError(
         f"decoding {mime!r} requires PIL/ffmpeg (not in this container); "
-        "PPM/PGM/BMP/PNG decode natively")
+        "PPM/PGM/BMP/PNG/baseline-JPEG decode natively")
 
 
 def resize_bilinear(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
@@ -331,6 +339,503 @@ def image_features(img: np.ndarray) -> np.ndarray:
         minlength=16).astype(np.float32)
     hist /= max(1.0, float(luma.size))
     return np.concatenate([cells.ravel().astype(np.float32), hist])
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 sequential DCT, pure numpy + stdlib)
+#
+# Decoder: marker parse -> canonical Huffman -> per-MCU entropy decode
+# (the only per-symbol Python loop; everything after is batched numpy:
+# dequantize, inverse zigzag, one einsum IDCT over all blocks, chroma
+# upsample, BT.601 to RGB). Encoder emits valid baseline JPEG with
+# per-image fixed-length Huffman tables (all symbols at one code length
+# -> trivially canonical, always decodable by any conformant reader) so
+# no spec Annex K table transcription is needed. Progressive (SOF2),
+# arithmetic coding, and 12-bit precision raise NotImplementedError.
+
+_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# base quant tables (ITU T.81 Annex K.1 — the reference visual-weighting
+# tables every JPEG implementation ships)
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+# orthonormal 8-point DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
+_DCT_A = np.array([[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                    for x in range(8)] for u in range(8)])
+
+
+def _huff_lut(bits_counts: list[int], symbols: list[int]
+              ) -> tuple[list[int], list[int]]:
+    """DHT (counts per length, symbols) -> flat 2^16 lookup tables
+    (sym_by_peek, len_by_peek): canonical code c of length L owns the
+    peek-value range [c << (16-L), (c+1) << (16-L)). len 0 = invalid."""
+    sym = np.full(65536, -1, np.int32)
+    ln = np.zeros(65536, np.int32)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits_counts[length - 1]):
+            lo = code << (16 - length)
+            sym[lo: lo + (1 << (16 - length))] = symbols[k]
+            ln[lo: lo + (1 << (16 - length))] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym.tolist(), ln.tolist()
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline sequential JPEG -> (H, W, 3) uint8 RGB. Supports 8-bit
+    grayscale and YCbCr with sampling factors 1 or 2 (4:4:4 / 4:2:0 /
+    4:2:2), restart intervals. Progressive/arithmetic gate honestly."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> peek16 LUT
+    sof = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = buf[i + 1]
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("progressive JPEG unsupported")
+        if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+            raise NotImplementedError("non-baseline JPEG process")
+        (seglen,) = struct.unpack_from(">H", buf, i + 2)
+        seg = buf[i + 4: i + 2 + seglen]
+        if marker == 0xDB:                      # DQT
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 15
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.frombuffer(seg, np.uint8, 64, j + 1).astype(np.int32)
+                dq = np.zeros(64, np.int32)
+                dq[_ZIGZAG] = tbl
+                qt[tid] = dq.reshape(8, 8)
+                j += 65
+        elif marker in (0xC0, 0xC1):            # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            sof = (h, w, comps)
+        elif marker == 0xC4:                    # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = list(seg[j + 1: j + 17])
+                n = sum(counts)
+                syms = list(seg[j + 17: j + 17 + n])
+                huff[(tc, th)] = _huff_lut(counts, syms)
+                j += 17 + n
+        elif marker == 0xDD:                    # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:                    # SOS — entropy data follows
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append({"id": cs, "td": tds >> 4, "ta": tds & 15})
+            data_start = i + 2 + seglen
+            return _jpeg_decode_scan(buf, data_start, sof, qt, huff, scan,
+                                     restart_interval)
+        i += 2 + seglen
+    raise ValueError("JPEG missing SOS")
+
+
+def _jpeg_decode_scan(buf, pos, sof, qt, huff, scan, restart_interval):
+    if sof is None:
+        raise ValueError("JPEG SOS before SOF")
+    h, w, comps = sof
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        if s["id"] not in by_id:
+            raise ValueError("JPEG scan references unknown component")
+        s.update(by_id[s["id"]])
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise NotImplementedError("JPEG sampling factors > 2")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # destuff entropy bytes; segment at RST markers (DC predictors reset)
+    segments, cur = [], bytearray()
+    i = pos
+    while i < len(buf):
+        b = buf[i]
+        if b == 0xFF:
+            nxt = buf[i + 1] if i + 1 < len(buf) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break                                   # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    n_blocks = {s["id"]: mcus_x * mcus_y * s["h"] * s["v"] for s in scan}
+    mcu_per_seg = restart_interval or (mcus_x * mcus_y)
+
+    # entropy decode: the ONLY per-symbol Python loop in the codec. Bit
+    # reads are inlined 16-bit peeks + LUT hits (no call overhead) and
+    # coefficients accumulate into flat lists, scattered into the numpy
+    # coefficient plane in one vectorized assignment per component.
+    sc_dc = [huff[(0, s["td"])] for s in scan]
+    sc_ac = [huff[(1, s["ta"])] for s in scan]
+    sc_nb = [s["h"] * s["v"] for s in scan]
+    sc_vals: list[list[int]] = [[] for _ in scan]
+    sc_pos: list[list[int]] = [[] for _ in scan]
+    sc_base = [0] * len(scan)                   # running block index
+    mcu = 0
+    for seg_bytes in segments:
+        data = seg_bytes + b"\x00\x00\x00"
+        nbits = len(seg_bytes) * 8
+        pos = 0
+        preds = [0] * len(scan)
+        for _ in range(min(mcu_per_seg, mcus_x * mcus_y - mcu)):
+            for si in range(len(scan)):
+                dsym, dlen = sc_dc[si]
+                asym, alen = sc_ac[si]
+                vals, vpos = sc_vals[si], sc_pos[si]
+                base = sc_base[si] << 6
+                for _b in range(sc_nb[si]):
+                    b = pos >> 3
+                    pv = (((data[b] << 16) | (data[b + 1] << 8)
+                           | data[b + 2]) >> (8 - (pos & 7))) & 0xFFFF
+                    t = dsym[pv]
+                    ln = dlen[pv]
+                    if ln == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    pos += ln
+                    if t:
+                        b = pos >> 3
+                        mv = ((((data[b] << 16) | (data[b + 1] << 8)
+                                | data[b + 2]) >> (8 - (pos & 7)))
+                              & 0xFFFF) >> (16 - t)
+                        pos += t
+                        preds[si] += mv if mv >= (1 << (t - 1)) \
+                            else mv - (1 << t) + 1
+                    vals.append(preds[si])
+                    vpos.append(base)
+                    k = 1
+                    while k < 64:
+                        b = pos >> 3
+                        pv = (((data[b] << 16) | (data[b + 1] << 8)
+                               | data[b + 2]) >> (8 - (pos & 7))) & 0xFFFF
+                        rs = asym[pv]
+                        ln = alen[pv]
+                        if ln == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        pos += ln
+                        size = rs & 15
+                        if size == 0:
+                            if rs == 0xF0:          # ZRL
+                                k += 16
+                                continue
+                            break                   # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflow")
+                        b = pos >> 3
+                        mv = ((((data[b] << 16) | (data[b + 1] << 8)
+                                | data[b + 2]) >> (8 - (pos & 7)))
+                              & 0xFFFF) >> (16 - size)
+                        pos += size
+                        vals.append(mv if mv >= (1 << (size - 1))
+                                    else mv - (1 << size) + 1)
+                        vpos.append(base + k)
+                        k += 1
+                    if pos > nbits:
+                        raise ValueError("JPEG entropy data exhausted")
+                    base += 64
+                    sc_base[si] += 1
+            mcu += 1
+
+    coefs = {}
+    for si, s in enumerate(scan):
+        flat = np.zeros(n_blocks[s["id"]] * 64, np.int32)
+        if sc_vals[si]:
+            flat[np.array(sc_pos[si], np.int64)] = \
+                np.array(sc_vals[si], np.int32)
+        coefs[s["id"]] = flat.reshape(-1, 64)
+
+    # batched dequantize + inverse zigzag + IDCT per component
+    planes = {}
+    for s in scan:
+        cid = s["id"]
+        z = np.zeros((n_blocks[cid], 64), np.int32)
+        z[:, _ZIGZAG] = coefs[cid]                  # de-zigzag
+        f = z.astype(np.float64).reshape(-1, 8, 8) * \
+            qt[s["tq"]][None, :, :]
+        spatial = np.einsum("ux,nuv,vy->nxy", _DCT_A, f, _DCT_A)
+        blocks = np.clip(np.rint(spatial) + 128, 0, 255).astype(np.uint8)
+        # assemble the component plane from MCU-ordered blocks
+        ch_, cv_ = s["h"], s["v"]
+        pw, ph = mcus_x * ch_ * 8, mcus_y * cv_ * 8
+        plane = np.zeros((ph, pw), np.uint8)
+        bi = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        plane[(my * cv_ + by) * 8:(my * cv_ + by) * 8 + 8,
+                              (mx * ch_ + bx) * 8:(mx * ch_ + bx) * 8 + 8] \
+                            = blocks[bi]
+                        bi += 1
+        # upsample to full resolution and crop
+        plane = np.repeat(np.repeat(plane, vmax // cv_, axis=0),
+                          hmax // ch_, axis=1)
+        planes[cid] = plane[:h, :w]
+
+    order = [s["id"] for s in scan]
+    if len(order) == 1:
+        return np.repeat(planes[order[0]][..., None], 3, axis=2)
+    y, cb, cr = (planes[c] for c in order[:3])
+    return _yuv_to_rgb(y, cb, cr)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int):
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            byte = (self.acc >> (self.nacc - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)               # stuffing
+            self.nacc -= 8
+        self.acc &= (1 << self.nacc) - 1
+
+    def flush(self):
+        if self.nacc:
+            self.write(0x7F, 8 - self.nacc)         # pad with 1s per T.81
+
+
+def _fixed_huff_table(symbols: list[int]) -> tuple[list[int], list[int],
+                                                   dict]:
+    """All symbols at one code length L with 2^L > nsym: trivially
+    canonical, prefix-free, and avoids the reserved all-ones code.
+    Returns (bits_counts, ordered_symbols, {sym: (code, L)})."""
+    syms = sorted(set(symbols))
+    length = max(1, (len(syms) + 1 - 1).bit_length())
+    if (1 << length) <= len(syms):
+        length += 1
+    counts = [0] * 16
+    counts[length - 1] = len(syms)
+    enc = {s: (c, length) for c, s in enumerate(syms)}
+    return counts, syms, enc
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """uint8 image -> baseline JPEG. (H, W) gray or (H, W, 3) RGB;
+    subsample=True writes 4:2:0 chroma, else 4:4:4. Huffman tables are
+    per-image fixed-length (valid canonical tables emitted in DHT)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    assert img.dtype == np.uint8
+
+    qluma = _quality_scale(_Q_LUMA, quality)
+    qchroma = _quality_scale(_Q_CHROMA, quality)
+    if gray:
+        planes = [(img, qluma, 0, 1, 1)]
+    else:
+        y, cb, cr = _rgb_to_yuv(img)
+        sub = 2 if subsample else 1
+        if subsample:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cb = np.clip(np.rint(cb), 0, 255).astype(np.uint8)
+            cr = np.clip(np.rint(cr), 0, 255).astype(np.uint8)
+        planes = [(y, qluma, 0, sub, sub), (cb, qchroma, 1, 1, 1),
+                  (cr, qchroma, 1, 1, 1)]
+
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # per-plane blocks in MCU order, quantized zigzag coefficients
+    comp_blocks = []
+    for plane, qtab, _tq, ch_, cv_ in planes:
+        ph, pw = mcus_y * cv_ * 8, mcus_x * ch_ * 8
+        padded = np.pad(plane, ((0, ph - plane.shape[0]),
+                                (0, pw - plane.shape[1])), mode="edge")
+        f = padded.astype(np.float64) - 128.0
+        blocks = f.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ux,nmxy,vy->nmuv", _DCT_A, blocks, _DCT_A)
+        q = np.rint(coef / qtab[None, None]).astype(np.int32)
+        # reorder to MCU traversal: (mcu_y, mcu_x, by, bx)
+        nby, nbx = ph // 8, pw // 8
+        q = q.reshape(mcus_y, cv_, mcus_x, ch_, 8, 8) \
+            .transpose(0, 2, 1, 3, 4, 5).reshape(-1, 64)[:, _ZIGZAG]
+        assert nby * nbx == q.shape[0]
+        comp_blocks.append(q)
+
+    # entropy symbol streams (collect symbols first to build tables)
+    def _cat(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    dc_syms = [[], []]
+    ac_syms = [[], []]
+    per_comp_tokens = []
+    for ci, (plane, qtab, tclass, ch_, cv_) in enumerate(planes):
+        toks = []
+        blocks = comp_blocks[ci]
+        n_per_mcu = ch_ * cv_
+        pred = 0
+        for bi in range(blocks.shape[0]):
+            if restart_interval and bi % (restart_interval * n_per_mcu) == 0:
+                pred = 0
+            blk = blocks[bi]
+            diff = int(blk[0]) - pred
+            pred = int(blk[0])
+            s = _cat(diff)
+            dc_syms[tclass].append(s)
+            toks.append(("dc", s, diff))
+            run = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms[tclass].append(0xF0)
+                    toks.append(("ac", 0xF0, 0))
+                    run -= 16
+                s = _cat(v)
+                ac_syms[tclass].append((run << 4) | s)
+                toks.append(("ac", (run << 4) | s, v))
+                run = 0
+            if run:
+                ac_syms[tclass].append(0x00)
+                toks.append(("ac", 0x00, 0))
+        per_comp_tokens.append(toks)
+
+    tables = {}
+    for tclass in (0, 1):
+        if dc_syms[tclass]:
+            tables[(0, tclass)] = _fixed_huff_table(dc_syms[tclass] or [0])
+            tables[(1, tclass)] = _fixed_huff_table(ac_syms[tclass] or [0])
+
+    # headers
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes):
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(payload) + 2) + payload)
+
+    # DQT payload is zigzag-ordered: file[k] = natural[_ZIGZAG[k]]
+    dqt = bytes([0]) + bytes(qluma.reshape(64)[_ZIGZAG].astype(np.uint8))
+    if not gray:
+        dqt += bytes([1]) + bytes(qchroma.reshape(64)[_ZIGZAG]
+                                  .astype(np.uint8))
+    seg(0xDB, dqt)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (plane, qtab, tq, ch_, cv_) in enumerate(planes):
+        sof += struct.pack(">BBB", ci + 1, (ch_ << 4) | cv_, tq)
+    seg(0xC0, sof)
+    dht = b""
+    for (tc, th), (counts, syms, _enc) in sorted(tables.items()):
+        dht += bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+    seg(0xC4, dht)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tclass = planes[ci][2]
+        sos += struct.pack(">BB", ci + 1, (tclass << 4) | tclass)
+    sos += b"\x00\x3f\x00"
+    seg(0xDA, sos)
+
+    # interleave tokens per MCU and write bits
+    wtr = _BitWriter()
+    n_mcus = mcus_x * mcus_y
+    cursors = [0] * len(planes)
+    # token streams are flat per component; per MCU each component
+    # contributes h*v blocks, and each block is (1 dc + variable ac)
+    # tokens — walk them block-aligned
+    block_tokens = []
+    for toks in per_comp_tokens:
+        per_block = []
+        cur = []
+        for t in toks:
+            if t[0] == "dc" and cur:
+                per_block.append(cur)
+                cur = []
+            cur.append(t)
+        if cur:
+            per_block.append(cur)
+        block_tokens.append(per_block)
+
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.flush()
+            out.extend(wtr.out)
+            wtr = _BitWriter()
+            out.extend(b"\xff" + bytes([0xD0 + ((m // restart_interval - 1)
+                                                & 7)]))
+        for ci, (plane, qtab, tclass, ch_, cv_) in enumerate(planes):
+            for _ in range(ch_ * cv_):
+                for kind, sym, val in block_tokens[ci][cursors[ci]]:
+                    enc = tables[(0 if kind == "dc" else 1, tclass)][2]
+                    code, ln = enc[sym]
+                    wtr.write(code, ln)
+                    size = sym & 15 if kind == "ac" else sym
+                    if kind == "dc":
+                        size = sym
+                    if size:
+                        v = val if val >= 0 else val + (1 << size) - 1
+                        wtr.write(v, size)
+                cursors[ci] += 1
+    wtr.flush()
+    out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -557,6 +1062,10 @@ def synthesize_image(media_id: int, seed: int = 42,
     if fmt == "png":
         return (encode_png(img, filter_type=int(rng.integers(0, 5))),
                 "image/png", w, h)
+    if fmt == "jpeg":
+        return (encode_jpeg(img, quality=int(rng.integers(75, 96)),
+                            subsample=bool(rng.integers(0, 2))),
+                "image/jpeg", w, h)
     return encode_bmp(img), "image/bmp", w, h
 
 

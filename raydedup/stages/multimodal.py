@@ -2,11 +2,12 @@
 typed metadata; decode / feature-extract / resize / frame-sample as actor-pool
 map_batches stages.
 
-The decode path is REAL for PPM/PGM/BMP/PNG images, 8/16-bit PCM WAV audio,
-and YUV4MPEG2 (.y4m) video (pure stdlib+numpy codecs in raydedup.codecs:
-parse -> resize/frame/resample -> 64-dim descriptor); only codecs that need
-external native libs (JPEG, H.26x, mp3) are gated behind NotImplementedError
-because PIL/ffmpeg are not in this container. `DecodeMediaActor(fake=True)`
+The decode path is REAL for PPM/PGM/BMP/PNG/baseline-JPEG images, 8/16-bit
+PCM WAV audio, and YUV4MPEG2 (.y4m) video (pure stdlib+numpy codecs in
+raydedup.codecs: parse -> resize/frame/resample -> 64-dim descriptor); only
+codecs that need external native libs (progressive/arithmetic JPEG, H.26x,
+mp3) are gated behind NotImplementedError because PIL/ffmpeg are not in
+this container. `DecodeMediaActor(fake=True)`
 remains available as a deterministic payload-seeded stub for payloads with
 no decodable format at all.
 """
@@ -38,13 +39,13 @@ def synthesize_media(n: int, seed: int = 42, real_images: bool = False,
 
     Default: payload = seeded pseudo-random bytes (opaque blobs for plumbing
     tests). real_images=True: every row is an ACTUAL encoded image (cycling
-    PPM/BMP/PNG from codecs.synthesize_image). real_media=True: rows cycle
+    PPM/BMP/PNG/JPEG from codecs.synthesize_image). real_media=True: rows cycle
     image / audio (WAV) / video (y4m) so every real decode branch runs end
     to end with correct metadata."""
     rng = np.random.default_rng(seed)
     if real_images:
-        fmts = ["ppm", "bmp", "png"]
-        rows = [codecs.synthesize_image(i, seed, fmts[i % 3])
+        fmts = ["ppm", "bmp", "png", "jpeg"]
+        rows = [codecs.synthesize_image(i, seed, fmts[i % 4])
                 for i in range(n)]
         return pa.table({
             "media_id": pa.array(np.arange(n), pa.int64()),
@@ -57,11 +58,11 @@ def synthesize_media(n: int, seed: int = 42, real_images: bool = False,
         })
     if real_media:
         kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
-        img_fmts = ["ppm", "bmp", "png"]
+        img_fmts = ["ppm", "bmp", "png", "jpeg"]
         for i in range(n):
             if i % 3 == 0:
                 p, m, w, h = codecs.synthesize_image(i, seed,
-                                                     img_fmts[(i // 3) % 3])
+                                                     img_fmts[(i // 3) % 4])
                 kinds.append("image"); ws.append(w); hs.append(h)
                 durs.append(-1)
             elif i % 3 == 1:

@@ -79,17 +79,29 @@ def test_multimodal_fake_decode_deterministic():
 
 
 def test_multimodal_real_decode_gated():
-    """Codecs that need native libs (JPEG) still gate at the exact decode
-    point; PPM/BMP/PNG/WAV/y4m are real (covered in test_round3 and
-    test_media_codecs)."""
+    """Codecs that genuinely need native libs (progressive JPEG, webp) still
+    gate at the exact decode point; PPM/BMP/PNG/baseline-JPEG/WAV/y4m are
+    real (covered in test_round3 and test_media_codecs)."""
+    import struct
+
     actor = multimodal.DecodeImageActor(fake=False)
+    # minimal SOF2 (progressive) header — honest NotImplementedError
+    prog = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 8)
+            + b"\x08\x00\x08\x00\x08\x01")
     batch = pa.table({
         "media_id": pa.array([1], pa.int64()),
-        "payload": pa.array([b"\xff\xd8\xff\xe0"], pa.large_binary()),
+        "payload": pa.array([prog], pa.large_binary()),
         "mime": pa.array(["image/jpeg"], pa.string()),
     })
     with pytest.raises(NotImplementedError):
         actor(batch)
+    webp = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([b"RIFFxxxxWEBP"], pa.large_binary()),
+        "mime": pa.array(["image/webp"], pa.string()),
+    })
+    with pytest.raises(NotImplementedError):
+        actor(webp)
 
 
 def test_frame_sample_only_videos():

@@ -549,8 +549,12 @@ def test_codecs_roundtrip_and_dispatch():
     assert d.shape == (4, 6, 3) and np.array_equal(d[..., 2], g)
     d2 = codecs.decode_ppm(b"P5\n2 1\n63\n" + bytes([0, 63]))
     assert d2[0, 0, 0] == 0 and d2[0, 1, 0] == 255
-    with pytest.raises(NotImplementedError):
+    # baseline JPEG decodes natively now; a truncated stream is a
+    # ValueError, and genuinely unsupported codecs still gate honestly
+    with pytest.raises(ValueError):
         codecs.decode_image(b"\xff\xd8\xff\xe0", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image(b"RIFFxxxxWEBP", "image/webp")
 
 
 def test_codecs_resize_and_features():
