@@ -30,6 +30,7 @@ an SSL model forward.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
@@ -380,11 +381,14 @@ _DCT_A = np.array([[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
                     for x in range(8)] for u in range(8)])
 
 
-def _huff_lut(bits_counts: list[int], symbols: list[int]
+@functools.lru_cache(maxsize=64)
+def _huff_lut(bits_counts: bytes, symbols: bytes
               ) -> tuple[list[int], list[int]]:
     """DHT (counts per length, symbols) -> flat 2^16 lookup tables
     (sym_by_peek, len_by_peek): canonical code c of length L owns the
-    peek-value range [c << (16-L), (c+1) << (16-L)). len 0 = invalid."""
+    peek-value range [c << (16-L), (c+1) << (16-L)). len 0 = invalid.
+    Cached on the raw DHT bytes: rebuilding these lists cost ~1/3 of a
+    small-image decode, and a corpus reuses few distinct tables."""
     sym = np.full(65536, -1, np.int32)
     ln = np.zeros(65536, np.int32)
     code, k = 0, 0
@@ -402,22 +406,35 @@ def _huff_lut(bits_counts: list[int], symbols: list[int]
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Baseline sequential JPEG -> (H, W, 3) uint8 RGB. Supports 8-bit
     grayscale and YCbCr with sampling factors 1 or 2 (4:4:4 / 4:2:0 /
-    4:2:2), restart intervals. Progressive/arithmetic gate honestly."""
+    4:2:2), restart intervals, and both interleaved (one 3-component
+    scan) and non-interleaved (one scan per component) baseline files.
+    Progressive/arithmetic/CMYK gate honestly; corrupt or truncated
+    streams raise ValueError (the contract all codecs here share)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> peek16 LUT
     sof = None
+    geom = None              # {cid: per-component geometry}, set on first SOS
+    grids: dict[int, tuple[list, list]] = {}  # cid -> (vals, positions)
+    seen_scan: set[int] = set()
     restart_interval = 0
     i = 2
-    while i + 4 <= len(buf):
+    while i + 2 <= len(buf):
         if buf[i] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = buf[i + 1]
+        if marker == 0xD9:                      # EOI
+            break
+        if marker in (0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
+            i += 2                              # TEM / fill / stray RST
+            continue
         if marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise NotImplementedError("progressive JPEG unsupported")
         if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError("non-baseline JPEG process")
+        if i + 4 > len(buf):
+            break
         (seglen,) = struct.unpack_from(">H", buf, i + 2)
         seg = buf[i + 4: i + 2 + seglen]
         if marker == 0xDB:                      # DQT
@@ -435,6 +452,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    "JPEG with 2 or >3 components (CMYK/YCCK)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
@@ -445,42 +465,75 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             j = 0
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 15
-                counts = list(seg[j + 1: j + 17])
+                counts = bytes(seg[j + 1: j + 17])
                 n = sum(counts)
-                syms = list(seg[j + 17: j + 17 + n])
+                syms = bytes(seg[j + 17: j + 17 + n])
                 huff[(tc, th)] = _huff_lut(counts, syms)
                 j += 17 + n
         elif marker == 0xDD:                    # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                    # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            if geom is None:
+                geom = _jpeg_geometry(sof)
+                grids = {c["id"]: ([], []) for c in sof[2]}
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cs not in geom:
+                    raise ValueError("JPEG scan references unknown component")
+                if (0, tds >> 4) not in huff or (1, tds & 15) not in huff:
+                    raise ValueError("JPEG scan references missing DHT table")
                 scan.append({"id": cs, "td": tds >> 4, "ta": tds & 15})
-            data_start = i + 2 + seglen
-            return _jpeg_decode_scan(buf, data_start, sof, qt, huff, scan,
-                                     restart_interval)
+            seen_scan.update(s["id"] for s in scan)
+            i = _jpeg_entropy_scan(buf, i + 2 + seglen, geom, huff, scan,
+                                   restart_interval, grids)
+            continue
         i += 2 + seglen
-    raise ValueError("JPEG missing SOS")
+    if geom is None or not seen_scan:
+        raise ValueError("JPEG missing SOS")
+    if seen_scan != set(geom):
+        raise ValueError("JPEG missing component scan")
+    return _jpeg_assemble(sof, geom, grids, qt)
 
 
-def _jpeg_decode_scan(buf, pos, sof, qt, huff, scan, restart_interval):
-    if sof is None:
-        raise ValueError("JPEG SOS before SOF")
+def _jpeg_geometry(sof):
+    """Per-component block geometry: MCU-padded grid (interleaved scans)
+    and the component's own block grid (non-interleaved scans)."""
     h, w, comps = sof
-    by_id = {c["id"]: c for c in comps}
-    for s in scan:
-        if s["id"] not in by_id:
-            raise ValueError("JPEG scan references unknown component")
-        s.update(by_id[s["id"]])
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax not in (1, 2) or vmax not in (1, 2):
         raise NotImplementedError("JPEG sampling factors > 2")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    geom = {}
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)             # T.81 A.1.1 component dims
+        chh = -(-h * c["v"] // vmax)
+        geom[c["id"]] = {
+            "h": c["h"], "v": c["v"], "tq": c["tq"],
+            "hmax": hmax, "vmax": vmax,
+            "mcus_x": mcus_x, "mcus_y": mcus_y,
+            "nbx_pad": mcus_x * c["h"], "nby_pad": mcus_y * c["v"],
+            "nbx": -(-cw // 8), "nby": -(-chh // 8),
+        }
+    return geom
 
+
+def _jpeg_entropy_scan(buf, pos, geom, huff, scan, restart_interval,
+                       grids) -> int:
+    """Decode one scan's entropy data into the per-component raster-order
+    coefficient accumulators; return the index of the next marker.
+
+    Interleaved scans (ns > 1) traverse MCUs over the padded grid;
+    non-interleaved scans (ns == 1) traverse the component's own block
+    grid in raster order (T.81 A.2.2). This is the ONLY per-symbol Python
+    loop in the codec: bit reads are inlined 16-bit peeks + LUT hits and
+    coefficients accumulate into flat lists, scattered into the numpy
+    coefficient plane in one vectorized assignment at assembly."""
     # destuff entropy bytes; segment at RST markers (DC predictors reset)
     segments, cur = [], bytearray()
     i = pos
@@ -502,32 +555,47 @@ def _jpeg_decode_scan(buf, pos, sof, qt, huff, scan, restart_interval):
         i += 1
     segments.append(bytes(cur))
 
-    n_blocks = {s["id"]: mcus_x * mcus_y * s["h"] * s["v"] for s in scan}
-    mcu_per_seg = restart_interval or (mcus_x * mcus_y)
+    interleaved = len(scan) > 1
+    g0 = geom[scan[0]["id"]]
+    if interleaved:
+        total_units = g0["mcus_x"] * g0["mcus_y"]   # unit = one MCU
+    else:
+        total_units = g0["nbx"] * g0["nby"]         # unit = one block
+    units_per_seg = restart_interval or total_units
 
-    # entropy decode: the ONLY per-symbol Python loop in the codec. Bit
-    # reads are inlined 16-bit peeks + LUT hits (no call overhead) and
-    # coefficients accumulate into flat lists, scattered into the numpy
-    # coefficient plane in one vectorized assignment per component.
     sc_dc = [huff[(0, s["td"])] for s in scan]
     sc_ac = [huff[(1, s["ta"])] for s in scan]
-    sc_nb = [s["h"] * s["v"] for s in scan]
-    sc_vals: list[list[int]] = [[] for _ in scan]
-    sc_pos: list[list[int]] = [[] for _ in scan]
-    sc_base = [0] * len(scan)                   # running block index
-    mcu = 0
+    sc_geom = [geom[s["id"]] for s in scan]
+    sc_grid = [grids[s["id"]] for s in scan]
+    mcus_x = g0["mcus_x"]
+    unit = 0
     for seg_bytes in segments:
-        data = seg_bytes + b"\x00\x00\x00"
+        # 264-byte zero pad: one block consumes < 64*(16+15)+overhead bits
+        # past the end before the per-block exhaustion check fires, so no
+        # in-block peek can run off the buffer (IndexError is never the
+        # corrupt-stream failure mode — ValueError is)
+        data = seg_bytes + b"\x00" * 264
         nbits = len(seg_bytes) * 8
         pos = 0
         preds = [0] * len(scan)
-        for _ in range(min(mcu_per_seg, mcus_x * mcus_y - mcu)):
+        for _ in range(min(units_per_seg, total_units - unit)):
             for si in range(len(scan)):
                 dsym, dlen = sc_dc[si]
                 asym, alen = sc_ac[si]
-                vals, vpos = sc_vals[si], sc_pos[si]
-                base = sc_base[si] << 6
-                for _b in range(sc_nb[si]):
+                vals, vpos = sc_grid[si]
+                g = sc_geom[si]
+                ch_, cv_, nbx_pad = g["h"], g["v"], g["nbx_pad"]
+                if interleaved:
+                    my, mx = divmod(unit, mcus_x)
+                    blocks_iter = [((my * cv_ + by) * nbx_pad
+                                    + mx * ch_ + bx)
+                                   for by in range(cv_)
+                                   for bx in range(ch_)]
+                else:
+                    by, bx = divmod(unit, g["nbx"])
+                    blocks_iter = [by * nbx_pad + bx]
+                for raster in blocks_iter:
+                    base = raster << 6
                     b = pos >> 3
                     pv = (((data[b] << 16) | (data[b + 1] << 8)
                            | data[b + 2]) >> (8 - (pos & 7))) & 0xFFFF
@@ -576,50 +644,48 @@ def _jpeg_decode_scan(buf, pos, sof, qt, huff, scan, restart_interval):
                         k += 1
                     if pos > nbits:
                         raise ValueError("JPEG entropy data exhausted")
-                    base += 64
-                    sc_base[si] += 1
-            mcu += 1
+            unit += 1
+    if unit != total_units:
+        # missing restart segments: without this check a truncated stream
+        # would silently decode its remaining MCUs as flat gray
+        raise ValueError("JPEG entropy data truncated")
+    return i
 
-    coefs = {}
-    for si, s in enumerate(scan):
-        flat = np.zeros(n_blocks[s["id"]] * 64, np.int32)
-        if sc_vals[si]:
-            flat[np.array(sc_pos[si], np.int64)] = \
-                np.array(sc_vals[si], np.int32)
-        coefs[s["id"]] = flat.reshape(-1, 64)
 
-    # batched dequantize + inverse zigzag + IDCT per component
+def _jpeg_assemble(sof, geom, grids, qt) -> np.ndarray:
+    """All scans decoded -> dequantize, inverse zigzag, one einsum IDCT
+    over every block, vectorized raster assembly, chroma upsample, crop,
+    BT.601 -> RGB."""
+    h, w, comps = sof
     planes = {}
-    for s in scan:
-        cid = s["id"]
-        z = np.zeros((n_blocks[cid], 64), np.int32)
-        z[:, _ZIGZAG] = coefs[cid]                  # de-zigzag
+    for c in comps:
+        cid = c["id"]
+        g = geom[cid]
+        if g["tq"] not in qt:
+            raise ValueError("JPEG scan references missing DQT table")
+        nbx_pad, nby_pad = g["nbx_pad"], g["nby_pad"]
+        flat = np.zeros(nby_pad * nbx_pad * 64, np.int32)
+        vals, vpos = grids[cid]
+        if vals:
+            flat[np.array(vpos, np.int64)] = np.array(vals, np.int32)
+        z = np.zeros((nby_pad * nbx_pad, 64), np.int32)
+        z[:, _ZIGZAG] = flat.reshape(-1, 64)        # de-zigzag
         f = z.astype(np.float64).reshape(-1, 8, 8) * \
-            qt[s["tq"]][None, :, :]
+            qt[g["tq"]][None, :, :]
         spatial = np.einsum("ux,nuv,vy->nxy", _DCT_A, f, _DCT_A)
         blocks = np.clip(np.rint(spatial) + 128, 0, 255).astype(np.uint8)
-        # assemble the component plane from MCU-ordered blocks
-        ch_, cv_ = s["h"], s["v"]
-        pw, ph = mcus_x * ch_ * 8, mcus_y * cv_ * 8
-        plane = np.zeros((ph, pw), np.uint8)
-        bi = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for by in range(cv_):
-                    for bx in range(ch_):
-                        plane[(my * cv_ + by) * 8:(my * cv_ + by) * 8 + 8,
-                              (mx * ch_ + bx) * 8:(mx * ch_ + bx) * 8 + 8] \
-                            = blocks[bi]
-                        bi += 1
+        # raster-order blocks -> plane, one reshape/transpose (no loop)
+        plane = blocks.reshape(nby_pad, nbx_pad, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(nby_pad * 8, nbx_pad * 8)
         # upsample to full resolution and crop
-        plane = np.repeat(np.repeat(plane, vmax // cv_, axis=0),
-                          hmax // ch_, axis=1)
+        plane = np.repeat(np.repeat(plane, g["vmax"] // g["v"], axis=0),
+                          g["hmax"] // g["h"], axis=1)
         planes[cid] = plane[:h, :w]
 
-    order = [s["id"] for s in scan]
+    order = [c["id"] for c in comps]
     if len(order) == 1:
         return np.repeat(planes[order[0]][..., None], 3, axis=2)
-    y, cb, cr = (planes[c] for c in order[:3])
+    y, cb, cr = (planes[c] for c in order)
     return _yuv_to_rgb(y, cb, cr)
 
 
@@ -647,13 +713,12 @@ class _BitWriter:
 
 def _fixed_huff_table(symbols: list[int]) -> tuple[list[int], list[int],
                                                    dict]:
-    """All symbols at one code length L with 2^L > nsym: trivially
-    canonical, prefix-free, and avoids the reserved all-ones code.
+    """All symbols at one code length L: trivially canonical and
+    prefix-free. L = bit_length(nsym) guarantees 2^L > nsym, so the
+    all-ones code (reserved by T.81) is never assigned.
     Returns (bits_counts, ordered_symbols, {sym: (code, L)})."""
     syms = sorted(set(symbols))
-    length = max(1, (len(syms) + 1 - 1).bit_length())
-    if (1 << length) <= len(syms):
-        length += 1
+    length = max(1, len(syms).bit_length())
     counts = [0] * 16
     counts[length - 1] = len(syms)
     enc = {s: (c, length) for c, s in enumerate(syms)}
@@ -667,13 +732,19 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
+                subsample: bool = False, restart_interval: int = 0,
+                interleaved: bool = True) -> bytes:
     """uint8 image -> baseline JPEG. (H, W) gray or (H, W, 3) RGB;
     subsample=True writes 4:2:0 chroma, else 4:4:4. Huffman tables are
-    per-image fixed-length (valid canonical tables emitted in DHT)."""
+    per-image fixed-length (valid canonical tables emitted in DHT).
+    interleaved=False writes one scan per component (legal baseline,
+    T.81 A.2.2); supported for 4:4:4 without restart markers."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     assert img.dtype == np.uint8
+    if not interleaved and (subsample or restart_interval):
+        raise ValueError("non-interleaved encode supports 4:4:4 without "
+                         "restart intervals only")
 
     qluma = _quality_scale(_Q_LUMA, quality)
     qchroma = _quality_scale(_Q_CHROMA, quality)
@@ -785,20 +856,17 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     seg(0xC4, dht)
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        tclass = planes[ci][2]
-        sos += struct.pack(">BB", ci + 1, (tclass << 4) | tclass)
-    sos += b"\x00\x3f\x00"
-    seg(0xDA, sos)
 
-    # interleave tokens per MCU and write bits
-    wtr = _BitWriter()
-    n_mcus = mcus_x * mcus_y
-    cursors = [0] * len(planes)
-    # token streams are flat per component; per MCU each component
-    # contributes h*v blocks, and each block is (1 dc + variable ac)
-    # tokens — walk them block-aligned
+    def _write_block(wtr, toks, dc_enc, ac_enc):
+        for kind, sym, val in toks:
+            code, ln = (dc_enc if kind == "dc" else ac_enc)[sym]
+            wtr.write(code, ln)
+            size = sym if kind == "dc" else sym & 15
+            if size:
+                wtr.write(val if val >= 0 else val + (1 << size) - 1, size)
+
+    # token streams are flat per component; each block is (1 dc + variable
+    # ac) tokens — split them block-aligned for MCU interleaving
     block_tokens = []
     for toks in per_comp_tokens:
         per_block = []
@@ -812,6 +880,36 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             per_block.append(cur)
         block_tokens.append(per_block)
 
+    if not interleaved:
+        # one scan per component in SOF order (T.81 A.2.2); 4:4:4 means
+        # the component block grid equals the MCU grid, so the per-comp
+        # token stream is already in non-interleaved raster order
+        for ci in range(ncomp):
+            tclass = planes[ci][2]
+            seg(0xDA, bytes([1]) + struct.pack(
+                ">BB", ci + 1, (tclass << 4) | tclass) + b"\x00\x3f\x00")
+            wtr = _BitWriter()
+            dc_enc = tables[(0, tclass)][2]
+            ac_enc = tables[(1, tclass)][2]
+            for toks in block_tokens[ci]:
+                _write_block(wtr, toks, dc_enc, ac_enc)
+            wtr.flush()
+            out.extend(wtr.out)
+        out.extend(b"\xff\xd9")
+        return bytes(out)
+
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tclass = planes[ci][2]
+        sos += struct.pack(">BB", ci + 1, (tclass << 4) | tclass)
+    sos += b"\x00\x3f\x00"
+    seg(0xDA, sos)
+
+    # interleave tokens per MCU and write bits
+    wtr = _BitWriter()
+    n_mcus = mcus_x * mcus_y
+    cursors = [0] * len(planes)
+    encs = [(tables[(0, p[2])][2], tables[(1, p[2])][2]) for p in planes]
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
             wtr.flush()
@@ -820,17 +918,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             out.extend(b"\xff" + bytes([0xD0 + ((m // restart_interval - 1)
                                                 & 7)]))
         for ci, (plane, qtab, tclass, ch_, cv_) in enumerate(planes):
+            dc_enc, ac_enc = encs[ci]
             for _ in range(ch_ * cv_):
-                for kind, sym, val in block_tokens[ci][cursors[ci]]:
-                    enc = tables[(0 if kind == "dc" else 1, tclass)][2]
-                    code, ln = enc[sym]
-                    wtr.write(code, ln)
-                    size = sym & 15 if kind == "ac" else sym
-                    if kind == "dc":
-                        size = sym
-                    if size:
-                        v = val if val >= 0 else val + (1 << size) - 1
-                        wtr.write(v, size)
+                _write_block(wtr, block_tokens[ci][cursors[ci]],
+                             dc_enc, ac_enc)
                 cursors[ci] += 1
     wtr.flush()
     out.extend(wtr.out)

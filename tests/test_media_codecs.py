@@ -328,6 +328,81 @@ def test_jpeg_rejects_and_gates():
         codecs.decode_jpeg(bytes(buf))
 
 
+def test_jpeg_non_interleaved_scans():
+    """interleaved=False writes one baseline scan per component (T.81
+    A.2.2); the decoder reconstructs the identical image because the
+    quantized coefficients are the same either way."""
+    rng = np.random.default_rng(33)
+    for shape in [(16, 16, 3), (7, 9, 3), (20, 30)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        multi = codecs.encode_jpeg(img, 90, interleaved=False)
+        single = codecs.encode_jpeg(img, 90)
+        assert multi.count(b"\xff\xda") == (3 if len(shape) == 3 else 1)
+        assert np.array_equal(codecs.decode_jpeg(multi),
+                              codecs.decode_jpeg(single)), shape
+    # unsupported non-interleaved combinations gate up front
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        codecs.encode_jpeg(img, 90, subsample=True, interleaved=False)
+    with pytest.raises(ValueError):
+        codecs.encode_jpeg(img, 90, restart_interval=2, interleaved=False)
+
+
+def test_jpeg_marker_robustness_and_gates():
+    """EOI stops the parse (trailing garbage ignored), stray TEM/RST
+    markers are skipped, 4-component SOF gates, truncated entropy data
+    and a missing component scan raise ValueError."""
+    import struct
+
+    img = np.random.default_rng(9).integers(0, 256, (24, 24, 3),
+                                            dtype=np.uint8)
+    buf = codecs.encode_jpeg(img, 90)
+    base = codecs.decode_jpeg(buf)
+    # trailing garbage after EOI is not part of the image
+    assert np.array_equal(codecs.decode_jpeg(buf + b"\x00garbage\xff"), base)
+    # a stray TEM marker between header segments is skipped
+    assert np.array_equal(codecs.decode_jpeg(buf[:2] + b"\xff\x01"
+                                             + buf[2:]), base)
+    # 4-component (CMYK-shaped) SOF gates honestly
+    sof_cmyk = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 8 + 3 * 4)
+                + b"\x08\x00\x10\x00\x10\x04"
+                + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00")
+    with pytest.raises(NotImplementedError):
+        codecs.decode_jpeg(sof_cmyk)
+    # truncated entropy data (restart segments missing) is a ValueError
+    ri = codecs.encode_jpeg(img, 90, restart_interval=1)
+    rst_positions = [i for i in range(len(ri) - 1)
+                     if ri[i] == 0xFF and 0xD0 <= ri[i + 1] <= 0xD7]
+    assert len(rst_positions) > 2
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(ri[:rst_positions[1]] + b"\xff\xd9")
+    # non-interleaved stream missing its last component scan
+    multi = codecs.encode_jpeg(img, 90, interleaved=False)
+    last_sos = multi.rfind(b"\xff\xda")
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(multi[:last_sos] + b"\xff\xd9")
+
+
+def test_jpeg_huffman_lut_cached_across_decodes():
+    """_huff_lut is keyed on the raw DHT bytes, so decoding two images
+    that share tables hits the cache instead of rebuilding 2x65536-entry
+    LUTs (the round-3 profile showed LUT builds at ~1/3 of small-image
+    decode time)."""
+    rng = np.random.default_rng(41)
+    imgs = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            for _ in range(2)]
+    bufs = [codecs.encode_jpeg(im, 90) for im in imgs]
+    codecs._huff_lut.cache_clear()
+    first = [codecs.decode_jpeg(b) for b in bufs]
+    misses_after_first = codecs._huff_lut.cache_info().misses
+    again = [codecs.decode_jpeg(b) for b in bufs]
+    info = codecs._huff_lut.cache_info()
+    assert info.misses == misses_after_first     # no rebuilds on re-decode
+    assert info.hits > 0
+    for a, b in zip(first, again):
+        assert np.array_equal(a, b)
+
+
 def test_jpeg_in_media_synthesis_and_actor():
     """synthesize_image('jpeg') produces a decodable baseline JPEG and the
     real decode actor handles a JPEG row end to end."""
