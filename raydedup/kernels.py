@@ -197,17 +197,26 @@ def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
     tpos = np.nonzero(tok_start)[0]
     if len(tpos) == 0:
         return np.empty(0, dtype=U64), np.zeros(n + 1, dtype=np.int64)
-    # token end = next non-word byte after the start (O(n) reverse scan),
-    # capped at the token's doc end (adjacent docs touch in the flat buffer)
-    idx_arr = np.arange(len(cls) + 1, dtype=np.int64)
-    tmp = np.where(cls != 1, idx_arr[:-1], len(cls))
-    next_nonword = np.minimum.accumulate(
-        np.r_[tmp, len(cls)][::-1])[::-1][:-1]
-    doc_of = np.searchsorted(byte_offs, tpos, side="right") - 1
-    ends = np.minimum(next_nonword[tpos], byte_offs[doc_of + 1])
+    # token end: word-run ENDS are computable elementwise exactly like the
+    # starts — a word byte whose successor (within the same doc) is not a
+    # word byte — and the k-th word end pairs with the k-th word start
+    # (both position-sorted, same count). This replaces a full-length int64
+    # reverse minimum.accumulate (two array reversals, ~48 bytes of memory
+    # traffic per input byte — the tokenizer's hot spot under multi-worker
+    # bandwidth contention) with byte-wide elementwise ops.
+    nxt = np.empty_like(cls)
+    nxt[:-1] = cls[1:]
+    nxt[-1] = 0
+    ends_docs = byte_offs[1:] - 1       # force run breaks at doc ends; the
+    nxt[ends_docs] = 0                  # -1 of an empty leading doc aliases
+    #                                     the last byte, whose nxt is 0 anyway
+    word_ends = np.nonzero((cls == 1) & (nxt != 1))[0] + 1
     is_punct = cls[tpos] == 2
-    ends = np.where(is_punct, tpos + 1, ends)
+    ends = np.empty(len(tpos), dtype=np.int64)
+    ends[is_punct] = tpos[is_punct] + 1
+    ends[~is_punct] = word_ends
     lens = ends - tpos
+    doc_of = np.searchsorted(byte_offs, tpos, side="right") - 1
 
     with np.errstate(over="ignore"):
         # first-8-bytes little-endian pack in ONE unaligned u64 gather +
