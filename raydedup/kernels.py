@@ -149,8 +149,12 @@ def _token_hash_cached(tok: str) -> int:
 
 
 def _tokenize_hash_regex(texts, lowercase: bool, words_only: bool = False):
-    """Fallback path: regex tokenizer + per-token cached hash (same values as
-    the vectorized path by construction)."""
+    """Fallback path for non-ASCII docs: regex tokenizer (unicode \\w/\\s
+    classes — byte class tables can't replicate these without decoding), but
+    the HASHING half is the shared vectorized spec over the tokens' UTF-8
+    bytes (`_hash_token_runs`), not a per-token Python hash. Values identical
+    to the vectorized path by construction (pytest
+    test_token_hash_mask_lookup_parity + mixed-batch parity gates)."""
     rx = WORD_RE if words_only else TOKEN_RE
     tok_lists = [rx.findall(normalize_content(t, lowercase))
                  for t in texts]
@@ -161,14 +165,49 @@ def _tokenize_hash_regex(texts, lowercase: bool, words_only: bool = False):
     total = int(offsets[-1])
     if total == 0:
         return np.empty(0, dtype=U64), offsets
-    flat = np.empty(total, dtype=U64)
-    th = _token_hash_cached
-    pos = 0
-    for toks in tok_lists:
-        for t in toks:
-            flat[pos] = th(t)
-            pos += 1
-    return flat, offsets
+    tok_bytes = [t.encode("utf-8", "surrogatepass")
+                 for toks in tok_lists for t in toks]
+    tlens = np.fromiter((len(b) for b in tok_bytes), dtype=np.int64,
+                        count=total)
+    tpos = np.zeros(total, dtype=np.int64)
+    np.cumsum(tlens[:-1], out=tpos[1:])
+    data = np.frombuffer(b"".join(tok_bytes), dtype=np.uint8)
+    return _hash_token_runs(data, tpos, tlens), offsets
+
+
+def _hash_token_runs(data: np.ndarray, tpos: np.ndarray,
+                     lens: np.ndarray) -> np.ndarray:
+    """Vectorized token-hash spec over token byte runs (start tpos, length
+    lens) inside data. Shared by the ASCII byte tokenizer and the regex
+    fallback so both produce identical values for the same token bytes."""
+    if len(tpos) == 0:
+        return np.empty(0, dtype=U64)
+    with np.errstate(over="ignore"):
+        # first-8-bytes little-endian pack in ONE unaligned u64 gather +
+        # length mask (replaces an 8-iteration byte-gather loop): pad the
+        # byte buffer, view it at stride 1 as u64, mask bytes past the
+        # token end. The mask comes from a 9-entry lookup table — a
+        # computed (1 << 64) shift-by-width is undefined in C/NumPy and
+        # platform-dependent, so never shift by the full word width.
+        padded = np.empty(len(data) + 8, dtype=np.uint8)
+        padded[:len(data)] = data
+        padded[len(data):] = 0
+        u64v = np.ndarray(shape=(len(data) + 1,), dtype="<u8",
+                          buffer=padded, strides=(1,))
+        mask = _PACK_MASKS[np.minimum(lens, 8)]
+        val = u64v[tpos] & mask
+        # long tokens (rare): continue per the spec on the active subset
+        maxlen = int(lens.max())
+        j = 8
+        while j < maxlen:
+            m = lens > j
+            if not m.any():
+                break
+            act = np.nonzero(m)[0]
+            val[act] = splitmix64(val[act]) * _POLY \
+                + data[tpos[act] + j].astype(np.uint64)
+            j += 1
+    return splitmix64(val)
 
 
 def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
@@ -216,39 +255,70 @@ def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
     ends[is_punct] = tpos[is_punct] + 1
     ends[~is_punct] = word_ends
     lens = ends - tpos
-    doc_of = np.searchsorted(byte_offs, tpos, side="right") - 1
 
-    with np.errstate(over="ignore"):
-        # first-8-bytes little-endian pack in ONE unaligned u64 gather +
-        # length mask (replaces an 8-iteration byte-gather loop): pad the
-        # byte buffer, view it at stride 1 as u64, mask bytes past the
-        # token end. The mask comes from a 9-entry lookup table — a
-        # computed (1 << 64) shift-by-width is undefined in C/NumPy and
-        # platform-dependent, so never shift by the full word width.
-        padded = np.empty(len(data) + 8, dtype=np.uint8)
-        padded[:len(data)] = data
-        padded[len(data):] = 0
-        u64v = np.ndarray(shape=(len(data) + 1,), dtype="<u8",
-                          buffer=padded, strides=(1,))
-        mask = _PACK_MASKS[np.minimum(lens, 8)]
-        val = u64v[tpos] & mask
-        # long tokens (rare): continue per the spec on the active subset
-        maxlen = int(lens.max())
-        j = 8
-        while j < maxlen:
-            m = lens > j
-            if not m.any():
-                break
-            act = np.nonzero(m)[0]
-            val[act] = splitmix64(val[act]) * _POLY \
-                + data[tpos[act] + j].astype(np.uint64)
-            j += 1
-    flat = splitmix64(val)
+    flat = _hash_token_runs(data, tpos, lens)
 
-    counts = np.bincount(doc_of, minlength=n)
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
+    # per-doc token counts: search the n+1 doc boundaries in the sorted
+    # token-start array — (n+1)·log T, instead of the transposed
+    # T·log n searchsorted + bincount (T ≈ 1000·n on code corpora)
+    offsets = np.searchsorted(tpos, byte_offs, side="left")
     return flat, offsets
+
+
+def _scatter_segments(dst: np.ndarray, dst_starts: np.ndarray,
+                      src: np.ndarray, src_offs: np.ndarray) -> None:
+    """Copy src segment i (src_offs[i]:src_offs[i+1]) into dst starting at
+    dst_starts[i], fully vectorized (one repeat + one arange + one scatter)."""
+    seg_lens = src_offs[1:] - src_offs[:-1]
+    total = int(src_offs[-1])
+    if total == 0:
+        return
+    seg_of = np.repeat(np.arange(len(seg_lens), dtype=np.int64), seg_lens)
+    pos = np.arange(total, dtype=np.int64)
+    dst[dst_starts[seg_of] + (pos - src_offs[:-1][seg_of])] = src
+
+
+def _tokenize_hash_mixed(data: np.ndarray, offs: np.ndarray,
+                         nonascii_doc_mask: np.ndarray,
+                         lowercase: bool, words_only: bool):
+    """Per-doc routed tokenizer for batches where only SOME docs contain
+    non-ASCII bytes (the common real-corpus shape: a few docs with unicode
+    punctuation would otherwise send the whole batch to the regex fallback
+    — measured as ~60% of flagship wall on the bench corpus, where 4.8% of
+    docs carry em-dashes). ASCII docs keep the vectorized byte path; only
+    the non-ASCII docs pay the regex path; outputs merge back in doc
+    order."""
+    n = len(offs) - 1
+    doc_lens = offs[1:] - offs[:-1]
+    ascii_mask = ~nonascii_doc_mask
+    keep = np.repeat(ascii_mask, doc_lens)
+    a_data = np.ascontiguousarray(data[keep])
+    a_offs = np.zeros(int(ascii_mask.sum()) + 1, dtype=np.int64)
+    np.cumsum(doc_lens[ascii_mask], out=a_offs[1:])
+    a_flat, a_toffs = _tokenize_hash_ascii(a_offs, a_data, lowercase,
+                                           words_only)
+    na_idx = np.nonzero(nonascii_doc_mask)[0]
+    texts = [bytes(data[offs[d]:offs[d + 1]]).decode("utf-8", "surrogatepass")
+             for d in na_idx]
+    na_flat, na_toffs = _tokenize_hash_regex(texts, lowercase, words_only)
+    counts = np.empty(n, dtype=np.int64)
+    counts[ascii_mask] = a_toffs[1:] - a_toffs[:-1]
+    counts[na_idx] = na_toffs[1:] - na_toffs[:-1]
+    out_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    flat = np.empty(int(out_offs[-1]), dtype=U64)
+    _scatter_segments(flat, out_offs[:-1][ascii_mask], a_flat, a_toffs)
+    _scatter_segments(flat, out_offs[:-1][na_idx], na_flat, na_toffs)
+    return flat, out_offs
+
+
+def _nonascii_doc_mask(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """bool[n]: which docs contain any byte >= 128."""
+    mask = np.zeros(len(offs) - 1, dtype=bool)
+    pos = np.nonzero(data >= 128)[0]
+    if len(pos):
+        mask[np.unique(np.searchsorted(offs, pos, side="right") - 1)] = True
+    return mask
 
 
 def tokenize_hash_batch(texts, lowercase: bool = False,
@@ -257,19 +327,24 @@ def tokenize_hash_batch(texts, lowercase: bool = False,
 
     Returns (flat_hashes uint64[T], doc_offsets int64[n+1]) where
     flat_hashes[doc_offsets[i]:doc_offsets[i+1]] are doc i's token hashes in
-    order. ASCII batches take the vectorized byte path; any non-ASCII falls
-    back to the regex path (identical hash values by the shared spec)."""
+    order. ASCII docs take the vectorized byte path; non-ASCII docs take the
+    regex path per doc (identical hash values by the shared spec)."""
     n = len(texts)
     if n == 0:
         return np.empty(0, dtype=U64), np.zeros(1, dtype=np.int64)
-    try:
-        encoded = [("" if t is None else t).encode("ascii") for t in texts]
-    except UnicodeEncodeError:
-        return _tokenize_hash_regex(texts, lowercase, words_only)
+    strs = [("" if t is None else t) for t in texts]
+    if all(s.isascii() for s in strs):
+        encoded = [s.encode("ascii") for s in strs]
+    else:
+        encoded = [s.encode("utf-8", "surrogatepass") for s in strs]
     lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
     byte_offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=byte_offs[1:])
     data = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    na = _nonascii_doc_mask(data, byte_offs)
+    if na.any():
+        return _tokenize_hash_mixed(data, byte_offs, na, lowercase,
+                                    words_only)
     return _tokenize_hash_ascii(byte_offs, data, lowercase, words_only)
 
 
@@ -289,7 +364,8 @@ def tokenize_hash_arrow(col, lowercase: bool = False,
     data = data[offs[0]:offs[-1]]
     offs = offs - offs[0]
     if len(data) and data.max() >= 128:
-        return _tokenize_hash_regex(col.to_pylist(), lowercase, words_only)
+        na = _nonascii_doc_mask(data, offs)
+        return _tokenize_hash_mixed(data, offs, na, lowercase, words_only)
     return _tokenize_hash_ascii(offs, data, lowercase, words_only)
 
 
@@ -324,39 +400,37 @@ def shingle_hashes(flat_hashes: np.ndarray, doc_offsets: np.ndarray, k: int):
 
     P = U64(0x100000001B3)  # FNV-ish odd multiplier for the poly roll
     T = len(flat_hashes)
-    if not short.any() and T >= k:
-        # fast path (the common case: no sub-k docs in the batch): roll the
-        # poly hash over EVERY position of the flat token array with
-        # CONTIGUOUS slices (no per-window gather), then select the valid
-        # window starts per doc with one gather at the end.
+    if T >= k:
+        # roll the poly hash over EVERY position of the flat token array
+        # with CONTIGUOUS slices (no per-window gather), then select the
+        # valid window starts per doc with one gather. Short docs (L < k,
+        # whose single window would cross doc boundaries in acc_all) are
+        # excluded from the gather and handled below — previously ANY short
+        # doc in the batch sent every window through a k-pass masked
+        # gather.
         with np.errstate(over="ignore"):
             acc_all = np.zeros(T - k + 1, dtype=U64)
             for j in range(k):
                 acc_all = acc_all * P + flat_hashes[j: T - k + 1 + j]
-        out[:] = splitmix64(acc_all[win_start])
-        return out, sh_offsets
-    with np.errstate(over="ignore"):
-        acc = np.zeros(S, dtype=U64)
-        # full windows: k terms; short docs handled after
-        full = ~short[doc_idx]
-        for j in range(k):
-            idx = win_start + j
-            # for short docs the window would run past the doc; guard below
-            valid = full & (idx < len(flat_hashes))
-            term = np.zeros(S, dtype=U64)
-            term[valid] = flat_hashes[idx[valid]]
-            acc = acc * P + term
-    out[:] = splitmix64(acc)
+        if short.any():
+            sel = ~short[doc_idx]
+            out[sel] = splitmix64(acc_all[win_start[sel]])
+        else:
+            out[:] = splitmix64(acc_all[win_start])
+            return out, sh_offsets
 
-    # short docs: poly-hash their whole token run (variable length, few docs)
+    # short docs: poly-hash their whole token run, vectorized across docs
+    # (at most k-1 masked passes)
     short_docs = np.nonzero(short)[0]
     if len(short_docs):
+        s_starts = starts[short_docs]
+        s_lens = lens[short_docs]
+        acc = np.zeros(len(short_docs), dtype=U64)
         with np.errstate(over="ignore"):
-            for d in short_docs:
-                a = U64(0)
-                for h in flat_hashes[starts[d]:ends[d]]:
-                    a = a * P + h
-                out[sh_offsets[d]] = splitmix64(np.array([a], dtype=U64))[0]
+            for j in range(int(s_lens.max())):
+                m = s_lens > j
+                acc[m] = acc[m] * P + flat_hashes[s_starts[m] + j]
+        out[sh_offsets[short_docs]] = splitmix64(acc)
     return out, sh_offsets
 
 

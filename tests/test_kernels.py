@@ -99,3 +99,75 @@ def test_to_i63_range():
     x = np.array([0, 2**63 - 1, 2**63, 2**64 - 1], dtype=np.uint64)
     y = K.to_i63(x)
     assert y.dtype == np.int64 and (y >= 0).all()
+
+
+MIXED_TEXTS = [
+    "hello world, foo_bar 123!",
+    "",                                              # empty doc
+    "a b",                                           # short (< k tokens)
+    "copyright — em–dash Ünïcode £5 ¿que?  nbsp",    # non-ASCII
+    "normal ascii line\nwith lots of tokens " * 50,
+    None,
+    "tabs\tand\rcarriage\r\nreturns",
+    "😀 emoji mixed with ascii tokens here",
+    "x",                                             # single token
+    "verylongtoken" * 20,                            # > 8-byte token
+]
+
+
+def test_mixed_batch_tokenizer_routes_per_doc():
+    """A batch with SOME non-ASCII docs must produce identical hashes to the
+    all-regex path (per-doc routing parity), on both entry points."""
+    import pyarrow as pa
+    strs = [("" if t is None else t) for t in MIXED_TEXTS]
+    for lc in (False, True):
+        for wo in (False, True):
+            rf, ro = K._tokenize_hash_regex(strs, lc, wo)
+            bf, bo = K.tokenize_hash_batch(MIXED_TEXTS, lowercase=lc,
+                                           words_only=wo)
+            assert np.array_equal(ro, bo) and np.array_equal(rf, bf)
+            for typ in (pa.string(), pa.large_string()):
+                af, ao = K.tokenize_hash_arrow(pa.array(strs, typ),
+                                               lowercase=lc, words_only=wo)
+                assert np.array_equal(ao, bo) and np.array_equal(af, bf)
+
+
+def test_mixed_batch_regex_hashes_match_scalar_spec():
+    """The regex fallback's vectorized hashing equals the per-token cached
+    scalar hash (the spec's reference implementation)."""
+    rf, ro = K._tokenize_hash_regex([MIXED_TEXTS[3]], False, False)
+    toks = K.TOKEN_RE.findall(K.normalize_content(MIXED_TEXTS[3]))
+    assert len(rf) == len(toks)
+    for i, t in enumerate(toks):
+        assert int(rf[i]) == K._token_hash_cached(t), t
+
+
+def test_shingles_contiguous_roll_with_short_docs():
+    """Short docs in a batch no longer force the masked-gather path: outputs
+    must equal the per-doc naive poly hash for every doc shape."""
+    P = np.uint64(0x100000001B3)
+
+    def naive(flat, offs, k):
+        outs, so = [], [0]
+        for d in range(len(offs) - 1):
+            seg = flat[offs[d]:offs[d + 1]]
+            if len(seg) == 0:
+                ws = []
+            elif len(seg) < k:
+                ws = [seg]
+            else:
+                ws = [seg[i:i + k] for i in range(len(seg) - k + 1)]
+            for w in ws:
+                a = np.uint64(0)
+                with np.errstate(over="ignore"):
+                    for h in w:
+                        a = a * P + h
+                outs.append(int(K.splitmix64(np.array([a], np.uint64))[0]))
+            so.append(len(outs))
+        return np.array(outs, np.uint64), np.array(so, np.int64)
+
+    flat, offs = K.tokenize_hash_batch(MIXED_TEXTS)
+    for k in (2, 5, 9):
+        sh, so = K.shingle_hashes(flat, offs, k)
+        nsh, nso = naive(flat, offs, k)
+        assert np.array_equal(so, nso) and np.array_equal(sh, nsh), k
