@@ -219,6 +219,9 @@ def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
     shared spec above. No per-token Python.
     """
     n = len(byte_offs) - 1
+    if len(data) == 0:   # n empty docs (or an all-non-ASCII mixed batch's
+        return np.empty(0, dtype=U64), np.zeros(n + 1, dtype=np.int64)
+    #                      empty ASCII subset): no bytes, no tokens
     if lowercase:
         data = _LOWER[data]
     cls = _CLS[data]

@@ -171,3 +171,18 @@ def test_shingles_contiguous_roll_with_short_docs():
         sh, so = K.shingle_hashes(flat, offs, k)
         nsh, nso = naive(flat, offs, k)
         assert np.array_equal(so, nso) and np.array_equal(sh, nsh), k
+
+
+def test_all_nonascii_and_all_empty_batches():
+    """A block whose docs are ALL non-ASCII (empty ASCII subset) and blocks
+    of only empty docs must not crash and must match the regex path."""
+    import pyarrow as pa
+    for texts in (["— ünïcode —", "😀"], ["—", "— —"]):
+        rf, ro = K._tokenize_hash_regex(texts, False, False)
+        for f, o in (K.tokenize_hash_batch(texts),
+                     K.tokenize_hash_arrow(pa.array(texts))):
+            assert np.array_equal(f, rf) and np.array_equal(o, ro)
+    f, o = K.tokenize_hash_batch(["", "", None])
+    assert len(f) == 0 and np.array_equal(o, np.zeros(4, np.int64))
+    f, o = K.tokenize_hash_arrow(pa.array(["", "", ""]))
+    assert len(f) == 0 and np.array_equal(o, np.zeros(4, np.int64))
