@@ -417,6 +417,35 @@ def _q_planted_substring_pairs(sf_dir: str):
                                ("containment", pa.float64())]))
 
 
+# Duplicated n-gram span surface (ExactSubstr semantics, Lee et al. 2021):
+# run over the planted-copies corpus so the gate is non-vacuous (every
+# planted copy duplicates its whole text). k in CODEPOINTS — the engine
+# hashes codepoint windows precisely so DuckDB's char-based substr/length
+# replays it independently.
+_NGRAM_K = 25
+
+
+def _q_dup_ngram_spans(sf_dir: str):
+    from raydedup.stages.ngramspans import dup_ngram_spans
+    docs = _planted_docs(sf_dir, True, False) \
+        .select_columns(["doc_id", "text"])
+    tbl = _collect(dup_ngram_spans(docs, k=_NGRAM_K),
+                   pa.schema([("doc_id", pa.int64()),
+                              ("span_start", pa.int64()),
+                              ("span_end", pa.int64())]))
+    return tbl.sort_by([("doc_id", "ascending"), ("span_start", "ascending")])
+
+
+def _q_dup_ngram_stats(sf_dir: str):
+    from raydedup.stages.ngramspans import dup_ngram_stats
+    docs = _planted_docs(sf_dir, True, False) \
+        .select_columns(["doc_id", "text"])
+    tbl = _collect(dup_ngram_stats(docs, k=_NGRAM_K),
+                   pa.schema([("doc_id", pa.int64()),
+                              ("dup_chars", pa.int64())]))
+    return tbl.sort_by([("doc_id", "ascending")])
+
+
 def _q_embedding_near_dup_pairs(sf_dir: str):
     from raydedup.stages.embedding import cosine_pairs, load_embeddings
     return cosine_pairs(load_embeddings(f"{sf_dir}/embeddings.parquet"),
@@ -523,6 +552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_pairs": _q_substring_pairs,
         "planted_dup_groups": _q_planted_dup_groups,
         "planted_substring_pairs": _q_planted_substring_pairs,
+        "dup_ngram_spans": _q_dup_ngram_spans,
+        "dup_ngram_stats": _q_dup_ngram_stats,
         "quantile_off_topic": _q_quantile_off_topic,
         "approx_nn_ranking": _q_approx_nn_ranking,
         "ivf_nn_ranking": _q_ivf_nn_ranking,
@@ -1062,6 +1093,79 @@ def oracle_sql() -> dict[str, str]:
             WITH pl AS ({_PLANT_CONTAINERS_SQL}), {_pair_ctes('pl')}
             SELECT id_a, id_b, j AS jaccard, cont AS containment
             FROM jacc WHERE j < 0.7 AND cont >= 0.9
+        """,
+        # duplicated n-gram spans: every k-codepoint gram occurring at >= 2
+        # (doc, pos) sites anywhere in the corpus, merged per doc into
+        # maximal [start, start+k)-window unions. The engine groups by a
+        # 63-bit gram hash; the oracle groups by the gram STRING, so a hash
+        # collision would surface here as a mismatch.
+        "dup_ngram_spans": f"""
+            WITH pl AS ({_PLANT_COPIES_SQL}),
+            g AS (
+              SELECT doc_id,
+                     unnest(range(0, length(text) - {_NGRAM_K} + 1)) AS pos,
+                     text
+              FROM pl
+            ),
+            g2 AS (
+              SELECT doc_id, pos, substr(text, pos + 1, {_NGRAM_K}) AS gram
+              FROM g
+            ),
+            d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+            h AS (SELECT doc_id, pos FROM g2
+                  WHERE gram IN (SELECT gram FROM d)),
+            m AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos)
+                          <= {_NGRAM_K} THEN 0 ELSE 1 END AS brk
+              FROM h
+            ),
+            s AS (
+              SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+              FROM m
+            )
+            SELECT doc_id, MIN(pos) AS span_start,
+                   MAX(pos) + {_NGRAM_K} AS span_end
+            FROM s GROUP BY doc_id, grp
+            ORDER BY doc_id, span_start
+        """,
+        "dup_ngram_stats": f"""
+            WITH pl AS ({_PLANT_COPIES_SQL}),
+            g AS (
+              SELECT doc_id,
+                     unnest(range(0, length(text) - {_NGRAM_K} + 1)) AS pos,
+                     text
+              FROM pl
+            ),
+            g2 AS (
+              SELECT doc_id, pos, substr(text, pos + 1, {_NGRAM_K}) AS gram
+              FROM g
+            ),
+            d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+            h AS (SELECT doc_id, pos FROM g2
+                  WHERE gram IN (SELECT gram FROM d)),
+            m AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos)
+                          <= {_NGRAM_K} THEN 0 ELSE 1 END AS brk
+              FROM h
+            ),
+            s AS (
+              SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+              FROM m
+            ),
+            sp AS (
+              SELECT doc_id, MIN(pos) AS a, MAX(pos) + {_NGRAM_K} AS b
+              FROM s GROUP BY doc_id, grp
+            )
+            SELECT doc_id, SUM(b - a) AS dup_chars
+            FROM sp GROUP BY doc_id ORDER BY doc_id
         """,
         "dup_clusters": f"""
             WITH RECURSIVE {_CC_CTES}
