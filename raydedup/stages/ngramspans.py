@@ -114,15 +114,65 @@ def _window_keys(flat: np.ndarray, k: int) -> np.ndarray:
     return K.to_i63(key)
 
 
+_SENTINEL = np.int64(np.iinfo(np.int64).max)
+
+
+def _winnow_select(keys: np.ndarray, m: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, MOSS —
+    public): within every w consecutive window positions of a doc, keep the
+    position of the minimal key — selection is determined by CONTENT, so
+    two copies of a substring select the same relative positions regardless
+    of alignment. Any shared substring of length >= k + w - 1 contains a
+    full w-window, hence at least one shared selected gram.
+
+    Vectorized across the whole batch: docs are laid into one padded
+    stream with w-1 sentinel (int64 max) separators, so no sliding window
+    sees two docs and one argmin pass covers every doc. Windows that
+    overhang a doc's edges act as shorter windows (extra edge
+    fingerprints — content-determined by that doc alone, so the output is
+    invariant to batch/block layout).
+
+    keys: per-position window keys laid out doc-major; m: per-doc position
+    counts. Returns a boolean keep-mask over the flat positions.
+    """
+    total = len(keys)
+    keep = np.zeros(total, dtype=bool)
+    if total == 0:
+        return keep
+    pad = w - 1
+    nd = len(m)
+    starts = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(m, out=starts[1:])
+    # padded position of flat index i in doc d: pad*(d+1) + i
+    doc_of = np.repeat(np.arange(nd, dtype=np.int64), m)
+    shift = pad * (doc_of + 1)
+    plen = total + pad * (nd + 1)
+    padded = np.full(plen, _SENTINEL, dtype=np.int64)
+    flat_pos = np.arange(total, dtype=np.int64)
+    padded[flat_pos + shift] = keys
+    win = np.lib.stride_tricks.sliding_window_view(padded, min(w, plen))
+    sel = win.argmin(axis=1) + np.arange(win.shape[0], dtype=np.int64)
+    sel = np.unique(sel)
+    sel = sel[padded[sel] != _SENTINEL]
+    # map padded -> flat: subtract the owning doc's shift
+    d = np.searchsorted(starts[1:] + pad * (np.arange(nd) + 1), sel,
+                        side="right")
+    keep[sel - pad * (d + 1)] = True
+    return keep
+
+
 def gram_rows(docs: ray.data.Dataset, k: int, text_col: str = "text",
-              id_col: str = "doc_id") -> ray.data.Dataset:
+              id_col: str = "doc_id",
+              winnow: int = 0) -> ray.data.Dataset:
     """documents -> one (skey, id, pos) row per in-doc window position.
 
-    Shuffle volume is 24 bytes per codepoint — the same order as a
-    distributed suffix-array construction would move (8N rank entries per
-    round); at 100 TB this stage IS the cost of exact-substring dedup, and
-    the knob is k-stride sampling (winnowing) documented as the lossy
-    scale path, not implemented here to keep the oracle exact.
+    winnow=0 (exact): shuffle volume is 24 bytes per codepoint — the same
+    order as a distributed suffix-array construction would move (8N rank
+    entries per round); at 100 TB this stage IS the cost of exact-substring
+    dedup. winnow=w>1 is the scale path: only winnowed fingerprints
+    (~2/(w+1) of positions) leave the task, with the MOSS guarantee that
+    every duplicated substring of length >= k + w - 1 is still detected
+    (span edges trimmed by < w; see dup_ngram_spans).
     """
 
     def emit(t: pa.Table) -> pa.Table:
@@ -142,8 +192,12 @@ def gram_rows(docs: ray.data.Dataset, k: int, text_col: str = "text",
         np.cumsum(m, out=starts[1:])
         pos = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], m)
         gpos = offs[:-1][doc_of] + pos
+        skey = keys[gpos]
+        if winnow > 1:
+            keep = _winnow_select(skey, m, winnow)
+            skey, pos, doc_of = skey[keep], pos[keep], doc_of[keep]
         return pa.table({
-            "skey": pa.array(keys[gpos], pa.int64()),
+            "skey": pa.array(skey, pa.int64()),
             "id": pa.array(ids[doc_of], pa.int64()),
             "pos": pa.array(pos, pa.int64()),
         })
@@ -224,13 +278,16 @@ def dup_gram_hits(rows: ray.data.Dataset) -> ray.data.Dataset:
     return inner.union(bhits)
 
 
-def _merge_sorted(ids: np.ndarray, pos: np.ndarray, k: int) -> pa.Table:
-    """(id, pos) sorted by (id, pos) -> merged spans: windows [p, p+k)
-    overlap/touch iff the next duplicated start is <= p + k."""
+def _merge_sorted(ids: np.ndarray, pos: np.ndarray, k: int,
+                  gap: int) -> pa.Table:
+    """(id, pos) sorted by (id, pos) -> merged spans: each hit covers
+    [p, p+k); hits chain into one span while the next start is <= p + gap
+    (gap == k exact; gap == k + w winnowed, where selected sites of one
+    duplicated region are up to w apart)."""
     if len(ids) == 0:
         return _SPANS_SCHEMA.empty_table()
     brk = np.ones(len(ids), dtype=bool)
-    brk[1:] = (ids[1:] != ids[:-1]) | (pos[1:] - pos[:-1] > k)
+    brk[1:] = (ids[1:] != ids[:-1]) | (pos[1:] - pos[:-1] > gap)
     gstart = np.nonzero(brk)[0]
     gend = np.r_[gstart[1:], len(ids)] - 1
     return pa.table({
@@ -242,14 +299,29 @@ def _merge_sorted(ids: np.ndarray, pos: np.ndarray, k: int) -> pa.Table:
 
 def dup_ngram_spans(docs: ray.data.Dataset, k: int = 25,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> ray.data.Dataset:
+                    id_col: str = "doc_id",
+                    winnow: int = 0) -> ray.data.Dataset:
     """documents -> (doc_id, span_start, span_end) merged duplicated spans.
+
+    winnow=0: exact (every duplicated k-gram position). winnow=w>1: the
+    scale path — hit sites are winnowed fingerprints only. Guarantee (per
+    MAXIMAL PAIRWISE-SHARED substring, the unit the MOSS proof covers):
+    any substring of length >= k + w - 1 shared verbatim between two
+    sites is reported at both, with edges trimmed by < w — its first and
+    last fully-interior selection windows see identical gram hashes at
+    both sites, so both select the same fingerprints. A merged EXACT span
+    pieced from shorter segments with different partners carries no such
+    guarantee (each piece below k + w - 1 may be dropped entirely). All
+    reported sites remain TRUE duplicated positions (winnowing only
+    drops, never invents); merge gap widens to k + w.
 
     Hit sites are a small subset of positions in real corpora; they merge
     on the driver when they fit (collect_up_to) and otherwise per doc in a
     groupby (a group is one doc's hit list — bounded by doc length, so no
     hot-key hazard)."""
-    hits = dup_gram_hits(gram_rows(docs, k, text_col, id_col))
+    hits = dup_gram_hits(gram_rows(docs, k, text_col, id_col,
+                                   winnow=winnow))
+    gap = k + winnow if winnow > 1 else k
     tbl = collect_up_to(hits, DRIVER_SMALL_LIMIT)
     if tbl is not None:
         if tbl.num_rows == 0 or "id" not in tbl.column_names:
@@ -257,13 +329,14 @@ def dup_ngram_spans(docs: ray.data.Dataset, k: int = 25,
         ids = tbl.column("id").to_numpy(zero_copy_only=False)
         pos = tbl.column("pos").to_numpy(zero_copy_only=False)
         order = np.lexsort((pos, ids))
-        return ray.data.from_arrow(_merge_sorted(ids[order], pos[order], k))
+        return ray.data.from_arrow(
+            _merge_sorted(ids[order], pos[order], k, gap))
 
     def per_doc(t: pa.Table) -> pa.Table:
         ids = t.column("id").to_numpy(zero_copy_only=False)
         pos = t.column("pos").to_numpy(zero_copy_only=False)
         order = np.argsort(pos, kind="stable")
-        return _merge_sorted(ids[order], pos[order], k)
+        return _merge_sorted(ids[order], pos[order], k, gap)
 
     return hits.groupby("id").map_groups(per_doc, batch_format="pyarrow")
 

@@ -105,6 +105,57 @@ def test_spans_random_corpus_property():
         _brute_spans(texts, ids, k)
 
 
+def test_winnowed_spans_recall_and_soundness():
+    """Scale path (winnow=w): every maximal pairwise-shared substring of
+    length >= k + w - 1 must be reported with edges trimmed by < w (MOSS
+    guarantee — the fixture's spans are single shared passages, so the
+    per-span check is exactly that), and every reported span must lie
+    inside a true region (winnowing only drops sites, never invents
+    them)."""
+    texts, ids = _fixture()
+    k, w = 20, 6
+    exact = _brute_spans(texts, ids, k)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    for blocks in (1, 5):
+        ds = rd.from_arrow(tbl)
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        df = NG.dup_ngram_spans(ds, k=k, winnow=w).to_pandas()
+        got = [tuple(r) for r in
+               df.sort_values(["doc_id", "span_start"]).values.tolist()]
+        # recall: every exact span of length >= k + w - 1 is covered
+        for d, a, b in exact:
+            if b - a < k + w - 1:
+                continue
+            cover = [(ga, gb) for gd, ga, gb in got if gd == d
+                     and ga < b and gb > a]
+            assert cover, (d, a, b, got)
+            lo = min(c[0] for c in cover)
+            hi = max(c[1] for c in cover)
+            assert lo - a < w and b - hi < w, (d, a, b, lo, hi)
+        # soundness: every winnowed span sits inside some exact span
+        for d, a, b in got:
+            assert any(gd == d and a >= ea and b <= eb
+                       for gd, ea, eb in exact), (d, a, b, exact)
+
+
+def test_winnowed_selection_invariant_to_block_layout():
+    """The winnow mask is computed per doc (sentinel padding): the emitted
+    fingerprint set must not depend on how docs are batched."""
+    texts, ids = _fixture()
+    k, w = 20, 4
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+    def rows(blocks):
+        ds = rd.from_arrow(tbl)
+        if blocks > 1:
+            ds = ds.repartition(blocks)
+        df = NG.gram_rows(ds, k, winnow=w).to_pandas()
+        return sorted(map(tuple, df.values.tolist()))
+
+    assert rows(1) == rows(6)
+
+
 def test_stats_equal_span_widths():
     texts, ids = _fixture()
     tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
