@@ -166,6 +166,15 @@ def _q_dup_clusters(sf_dir: str):
     return res.clusters
 
 
+def _q_near_dedup_keep_list(sf_dir: str):
+    """Dataset-with-near-duplicates-removed: one (min-id) representative per
+    connected component — the keep-list a training-data pipeline consumes."""
+    from raydedup.pipeline import run_pipeline
+    from raydedup.stages.cluster import keep_representatives
+    res = run_pipeline(_docs_as_code(sf_dir))
+    return keep_representatives(res.clusters)
+
+
 def _q_duplicity_ranking(sf_dir: str):
     from raydedup.pipeline import run_pipeline
     from raydedup.stages.rank import duplicity_ranking
@@ -540,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "dup_clusters": _q_dup_clusters,
+        "near_dedup_keep_list": _q_near_dedup_keep_list,
         "duplicity_ranking": _q_duplicity_ranking,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "label_error_candidates": _q_label_error_candidates,
@@ -1170,6 +1180,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": f"""
             WITH RECURSIVE {_CC_CTES}
             SELECT id, cluster_id FROM allc
+        """,
+        "near_dedup_keep_list": f"""
+            WITH RECURSIVE {_CC_CTES}
+            SELECT id FROM allc WHERE id = cluster_id
         """,
         "duplicity_ranking": f"""
             WITH RECURSIVE {_CC_CTES}, csizes AS (

@@ -78,9 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.perf_counter()
     res = run_on_parquet(args.input, cfg, issues_to_detect=issues,
                          ckpt_dir=args.ckpt_dir)
+    from raydedup.stages.cluster import keep_representatives
     surfaces = {
         "verified_pairs": res.verified_pairs,
         "clusters": res.clusters,
+        "keep_list": (keep_representatives(res.clusters)
+                      if res.clusters is not None else None),
         "duplicity": res.duplicity,
         "ranked_pairs": res.ranked_pairs,
         "label_errors": res.label_errors,

@@ -179,3 +179,19 @@ def connected_components(edges: ray.data.Dataset, all_ids: ray.data.Dataset,
                          "cluster_id": pa.compute.cast(cid, pa.int64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def keep_representatives(clusters: ray.data.Dataset) -> ray.data.Dataset:
+    """Near-dedup keep-list: one representative per cluster — the canonical
+    min-id member, which is exactly the row whose id equals its cluster_id
+    (labels are min-id by construction above). The training-data consumption
+    of the reference's ranking surfaces (selfclean_cleaner.py:182-246 ranks
+    duplicates; a pipeline then DROPS them): filter the (id, cluster_id)
+    table to id == cluster_id. Stateless per-batch filter — no shuffle, no
+    driver collect; singleton clusters keep themselves.
+    """
+    def f(t: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(t.column("id"), t.column("cluster_id"))
+        return t.filter(keep).select(["id"])
+
+    return clusters.map_batches(f, batch_format="pyarrow")

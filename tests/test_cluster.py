@@ -57,3 +57,14 @@ def test_no_edges():
         _edges_ds([]).filter(lambda r: True), _ids_ds([1, 2, 3]), cfg
     ).to_pandas()
     assert dict(zip(out.id, out.cluster_id)) == {1: 1, 2: 2, 3: 3}
+
+
+@pytest.mark.parametrize("pairs,ids", CASES)
+def test_keep_representatives_one_per_cluster(pairs, ids):
+    from raydedup.stages.cluster import keep_representatives
+    cfg = EngineConfig()
+    clusters = connected_components(_edges_ds(pairs), _ids_ds(ids), cfg)
+    kept = sorted(keep_representatives(clusters).to_pandas().id)
+    exp = _expected(pairs, ids)
+    assert kept == sorted(set(exp.values()))   # exactly the min-id reps
+    assert all(exp[i] == i for i in kept)      # each kept row is its own rep

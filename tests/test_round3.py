@@ -619,8 +619,13 @@ def test_job_entrypoint_writes_surfaces_and_metrics(tmp_path):
     assert rc == 0
     metrics = json.loads((out / "metrics.json").read_text())
     assert set(metrics["surfaces"]) == {"verified_pairs", "clusters",
-                                        "duplicity", "ranked_pairs"}
+                                        "keep_list", "duplicity",
+                                        "ranked_pairs"}
     import pyarrow.parquet as pq
     cl = pq.read_table(str(out / "clusters"))
     assert cl.num_rows == metrics["surfaces"]["clusters"]["rows"] > 0
     assert {"id", "cluster_id"} <= set(cl.column_names)
+    # keep-list = exactly the distinct cluster representatives
+    kl = pq.read_table(str(out / "keep_list"))
+    assert sorted(kl.column("id").to_pylist()) == sorted(
+        set(cl.column("cluster_id").to_pylist()))
