@@ -95,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
             continue
         t1 = time.perf_counter()
         out_dir = os.path.join(args.output, name)
+        # materialize once: write_parquet + count would otherwise each
+        # execute the lazy plan from scratch (2x wall for the unpinned
+        # surfaces); materialized blocks spill via the object store
+        ds = ds.materialize()
         ds.write_parquet(out_dir)
         cnt = ds.count()
         metrics["surfaces"][name] = {

@@ -103,6 +103,8 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     Rows are stored bottom-up and padded to 4 bytes."""
     if buf[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(buf) < 54:        # file header (14) + BITMAPINFOHEADER (40)
+        raise ValueError("truncated BMP header")
     data_off = struct.unpack_from("<I", buf, 10)[0]
     hdr_size = struct.unpack_from("<I", buf, 14)[0]
     if hdr_size < 40:
@@ -296,14 +298,19 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 def decode_image(buf: bytes, mime: str) -> np.ndarray:
     """Dispatch on mime; ValueError for corrupt payloads,
     NotImplementedError for codecs that genuinely need external libs."""
-    if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
-        return decode_ppm(buf)
-    if mime == "image/bmp":
-        return decode_bmp(buf)
-    if mime == "image/png":
-        return decode_png(buf)
-    if mime == "image/jpeg":
-        return decode_jpeg(buf)
+    try:
+        if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+            return decode_ppm(buf)
+        if mime == "image/bmp":
+            return decode_bmp(buf)
+        if mime == "image/png":
+            return decode_png(buf)
+        if mime == "image/jpeg":
+            return decode_jpeg(buf)
+    except struct.error as e:
+        # truncated headers surface as struct.error from unpack_from —
+        # re-raise under the shared corrupt-payload contract (ValueError)
+        raise ValueError(f"corrupt {mime} payload: {e}") from e
     raise NotImplementedError(
         f"decoding {mime!r} requires PIL/ffmpeg (not in this container); "
         "PPM/PGM/BMP/PNG/baseline-JPEG decode natively")
@@ -943,6 +950,8 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         (ln,) = struct.unpack_from("<I", buf, i + 4)
         body = buf[i + 8: i + 8 + ln]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

@@ -58,7 +58,15 @@ def containment_rows(sigs: ray.data.Dataset,
         ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
         counts = (offs[1:] - offs[:-1]).astype(np.int64)
         doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
-        p = np.minimum(np.floor(counts * frac).astype(np.int64) + 1, counts)
+        # floor(n * (1-cthr)) must be the REAL-arithmetic floor: 1-0.9
+        # rounds to 0.0999..98, so bare floor(10 * frac) = 0 loses one
+        # probe at every n where n*(1-cthr) is an exact integer and a
+        # containment-exactly-at-threshold pair missing the doc's smallest
+        # shingle would never collide (recall < 1). The epsilon biases UP
+        # only (float error here is ≤ ~1e-9 absolute for n ≤ 1e7); one
+        # extra probe is harmless — verification filters exactly.
+        p = np.minimum(
+            np.floor(counts * frac + 1e-6).astype(np.int64) + 1, counts)
         within = np.arange(len(flat), dtype=np.int64) \
             - np.repeat(offs[:-1], counts)
         probe = within < p[doc_of]

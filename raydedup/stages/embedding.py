@@ -370,6 +370,27 @@ def rp_centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
     return _normalize(rng.standard_normal((n_cells, dim)))
 
 
+def _build_cells(ds: ray.data.Dataset, n_cells: int, seed: int,
+                 trained: bool) -> tuple[int, np.ndarray]:
+    """Coarse-quantizer cells shared by _ivf_route and semantic_dedup:
+    default C ~ sqrt(N)/2 (avg cell ~ 2 sqrt(N) rows), centroids trained
+    on a bounded driver-side sample (trained=True) or seeded
+    random-projection planes (trained=False, replayable by a SQL oracle).
+    Returns (resolved n_cells, unit-norm centroid matrix)."""
+    n = ds.count()
+    if n_cells <= 0:
+        n_cells = max(1, min(256, int(round(np.sqrt(n / 4.0)))))
+    n_cells = min(n_cells, max(1, n))
+    sample_tbl = pa.concat_tables(
+        ds.select_columns(["embedding"]).limit(
+            IVF_TRAIN_SAMPLE if trained else 1)
+        .iter_batches(batch_format="pyarrow", batch_size=IVF_TRAIN_SAMPLE))
+    smat = _normalize(_emb_matrix(sample_tbl))
+    cents = _train_centroids(smat, n_cells, seed) if trained \
+        else rp_centroids(n_cells, smat.shape[1], seed)
+    return n_cells, cents
+
+
 def _ivf_route(ds: ray.data.Dataset, id_col: str,
                n_cells: int, n_probe: int, seed: int,
                trained: bool = True) -> ray.data.Dataset:
@@ -396,21 +417,8 @@ def _ivf_route(ds: ray.data.Dataset, id_col: str,
     quadratic in its size; the LSH plane's sha-representative collapse is
     the engine's answer for exact dups). Partitioning assumption: one hash
     shuffle by cell id (<= C keys)."""
-    n = ds.count()
-    if n_cells <= 0:
-        # ~sqrt(N)/2 cells: avg cell ~ 2 sqrt(N) rows keeps every seed's
-        # candidate pool (n_probe cells) comfortably above kk
-        n_cells = max(1, min(256, int(round(np.sqrt(n / 4.0)))))
-    n_cells = min(n_cells, max(1, n))
+    n_cells, cents = _build_cells(ds, n_cells, seed, trained)
     n_probe = min(n_probe, n_cells)
-
-    sample_tbl = pa.concat_tables(
-        ds.select_columns(["embedding"]).limit(
-            IVF_TRAIN_SAMPLE if trained else 1)
-        .iter_batches(batch_format="pyarrow", batch_size=IVF_TRAIN_SAMPLE))
-    smat = _normalize(_emb_matrix(sample_tbl))
-    cents = _train_centroids(smat, n_cells, seed) if trained \
-        else rp_centroids(n_cells, smat.shape[1], seed)
     csim = _round9(cents @ cents.T)
     # per-row (sim desc, cell asc) — deterministic probe graph
     probe = np.lexsort((np.broadcast_to(
@@ -560,17 +568,7 @@ def semantic_dedup(ds: ray.data.Dataset, eps: float,
     rows form the deduplicated corpus; max_prior_sim is -2.0 for the
     first row of each cluster (no prior rows).
     """
-    n = ds.count()
-    if n_cells <= 0:
-        n_cells = max(1, min(256, int(round(np.sqrt(n / 4.0)))))
-    n_cells = min(n_cells, max(1, n))
-    sample_tbl = pa.concat_tables(
-        ds.select_columns(["embedding"]).limit(
-            IVF_TRAIN_SAMPLE if trained else 1)
-        .iter_batches(batch_format="pyarrow", batch_size=IVF_TRAIN_SAMPLE))
-    smat = _normalize(_emb_matrix(sample_tbl))
-    cents = _train_centroids(smat, n_cells, seed) if trained \
-        else rp_centroids(n_cells, smat.shape[1], seed)
+    n_cells, cents = _build_cells(ds, n_cells, seed, trained)
     cref = ray.put(cents)
 
     def assign(t: pa.Table) -> pa.Table:

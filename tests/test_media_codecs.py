@@ -420,3 +420,21 @@ def test_jpeg_in_media_synthesis_and_actor():
     out = actor(batch)
     feat = np.asarray(out.column("feature").to_pylist()[0])
     assert np.allclose(feat, codecs.image_features(img))
+
+
+def test_truncated_payloads_raise_valueerror():
+    """The shared corrupt-payload contract: truncated headers raise
+    ValueError (not struct.error) from every codec entry point."""
+    import pytest
+
+    from raydedup.codecs import decode_image, decode_wav
+
+    for buf, mime in [(b"BM" + b"\x00" * 10, "image/bmp"),
+                      (b"\x89PNG\r\n\x1a\n" + b"\x00" * 4, "image/png"),
+                      (b"\xff\xd8\xff\xe0\x00", "image/jpeg"),
+                      (b"P6 junk", "image/x-portable-pixmap")]:
+        with pytest.raises(ValueError):
+            decode_image(buf, mime)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVEfmt "
+                   + (8).to_bytes(4, "little") + b"\x00" * 8)

@@ -629,3 +629,64 @@ def test_job_entrypoint_writes_surfaces_and_metrics(tmp_path):
     kl = pq.read_table(str(out / "keep_list"))
     assert sorted(kl.column("id").to_pylist()) == sorted(
         set(cl.column("cluster_id").to_pylist()))
+
+
+def test_containment_probe_count_exact_rational():
+    """Regression: p must be the REAL-arithmetic floor((1-cthr)*n)+1.
+    1-0.9 rounds below 0.1, so bare floor(n*frac) was one short at every
+    n where n*(1-cthr) is an exact integer (n=10,20,... at cthr=0.9) —
+    breaking the pigeonhole recall guarantee for pairs at exactly the
+    threshold. Checked against Fraction arithmetic; over-probing by one
+    is allowed (harmless), under-probing never."""
+    from fractions import Fraction
+
+    import raydedup.util as U
+    from raydedup.stages.containment import containment_rows
+
+    for cthr in (0.9, 0.8, 0.95):
+        ns = list(range(1, 201))
+        shingles = [list(range(1000 * i, 1000 * i + n))
+                    for i, n in enumerate(ns)]
+        flat = np.concatenate([np.array(s, dtype=np.uint64)
+                               for s in shingles])
+        offs = np.zeros(len(ns) + 1, dtype=np.int64)
+        np.cumsum(ns, out=offs[1:])
+        tbl = pa.table({
+            "id": pa.array(np.arange(len(ns), dtype=np.int64), pa.int64()),
+            "shingles": U.pack_u64_ragged(flat, offs),
+        })
+        rows = containment_rows(rd.from_arrow(tbl), cthr).to_pandas()
+        got_p = rows.groupby("id")["probe"].sum()
+        for i, n in enumerate(ns):
+            exact = int(Fraction(1) - Fraction(str(cthr))
+                        if False else (n * (Fraction(1) - Fraction(str(cthr))))
+                        ) + 1
+            exact = min(exact, n)
+            assert exact <= got_p[i] <= min(exact + 1, n), \
+                (cthr, n, got_p[i], exact)
+
+
+def test_containment_pair_at_exact_threshold_found():
+    """Planted pair with containment EXACTLY 0.9 whose shared shingles
+    exclude both docs' smallest-probe prefixes under the buggy one-short
+    p: A has 10 shingles, B has 100 with all its 10+ smallest outside A,
+    and the one A-shingle missing from B is A's smallest — so with p_A=1
+    (bug) no probe of either doc collides and the pair was lost."""
+    import raydedup.util as U
+    from raydedup.config import EngineConfig
+    from raydedup.stages.containment import containment_candidates
+
+    a_sh = np.arange(1000, 1010, dtype=np.uint64)          # A: 10 shingles
+    b_extra = np.arange(10, 101, dtype=np.uint64)          # 91 small keys
+    b_sh = np.sort(np.concatenate([b_extra, a_sh[1:]]))    # B: 100, no 1000
+    flat = np.concatenate([a_sh, b_sh])
+    offs = np.array([0, len(a_sh), len(a_sh) + len(b_sh)], dtype=np.int64)
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "shingles": U.pack_u64_ragged(flat, offs),
+    })
+    inter = len(set(a_sh.tolist()) & set(b_sh.tolist()))
+    assert inter / min(len(a_sh), len(b_sh)) == 0.9          # exactly at thr
+    out = containment_candidates(rd.from_arrow(tbl),
+                                 EngineConfig()).to_pandas()
+    assert (1, 2) in {(int(r.id_a), int(r.id_b)) for r in out.itertuples()}
