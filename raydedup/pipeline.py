@@ -62,7 +62,7 @@ def _exact_pairs_and_reps(sigs: ray.data.Dataset, cfg: EngineConfig):
 
     exact_pairs = pairs.map_batches(score, batch_format="pyarrow")
 
-    rep_ids = C.run_minima(srt, "content_sha256", cfg.join_num_partitions)
+    rep_ids = C.run_minima(srt, "content_sha256")
     from raydedup.util import collect_up_to
     rep_tbl = collect_up_to(rep_ids, cfg.broadcast_id_limit)
     if rep_tbl is not None:
@@ -183,9 +183,13 @@ def run_pipeline(code_files: ray.data.Dataset,
 
             return ds.map_batches(add, batch_format="pyarrow")
 
+        # same pre-signature content repartition as the non-ckpt branch:
+        # without it a checkpointed run feeds the signature stage the read
+        # stage's hundreds of near-empty blocks (the measured per-task-
+        # overhead regression the non-ckpt comment below documents)
         sigs = ckpt.partitioned_stage(
             "signatures",
-            lambda: I.ingest(code_files),
+            lambda: I.ingest(code_files.repartition(_blocks)),
             lambda ds: _with_part(S.compute_signatures(ds, cfg)),
             num_parts=P, chunk_parts=cfg.ckpt_chunk_parts)
         _lap("signatures")
@@ -249,13 +253,13 @@ def run_pipeline(code_files: ray.data.Dataset,
             key_col="ckpt_key")
         _lap("verified_rep_pairs")
         verified = staged("verified_pairs", lambda: exact_pairs.union(
-            expand_to_members(rep_verified, sha_sort, sigs, cfg)))
+            expand_to_members(rep_verified, sha_sort, cfg)))
     else:
         verified = staged("verified_pairs", lambda: exact_pairs.union(
             expand_to_members(
                 V.verify_pairs(C.candidate_pairs(rep_sigs, cfg),
                                rep_sigs, cfg),
-                sha_sort, sigs, cfg)))
+                sha_sort, cfg)))
 
     result = DedupResult(ingested=I.ingest(code_files), signatures=sigs,
                          verified_pairs=verified)
@@ -293,10 +297,14 @@ def run_pipeline(code_files: ray.data.Dataset,
         from raydedup.stages.autoclean import fraction_cut_dataset
         n = sigs.count()
         if result.ranked_pairs is not None:
+            # fit on distance-metric pairs only (substring rows are not on
+            # the 1-J metric and would inflate M / shift the anchors); the
+            # flag is applied to the full ranked surface — substring rows
+            # sit above the cut and tag False
             result.ranked_pairs = fraction_cut_dataset(
                 result.ranked_pairs, "distance", n,
                 alpha=cfg.autoclean.cut_off, q=cfg.autoclean.significance,
-                ascending=True, pair_rule=True)
+                ascending=True, pair_rule=True, fit_ds=dist_pairs)
         if result.duplicity is not None:
             result.duplicity = fraction_cut_dataset(
                 result.duplicity, "off_topic_score", n,

@@ -141,17 +141,22 @@ def _flags_with_rule(scores, n_samples, alpha, q, pair_rule):
 def fraction_cut_dataset(ds: ray.data.Dataset, score_col: str, n_samples: int,
                          alpha: float = 0.01, q: float = 0.05,
                          ascending: bool = True,
-                         pair_rule: bool | None = None) -> ray.data.Dataset:
+                         pair_rule: bool | None = None,
+                         fit_ds: ray.data.Dataset | None = None
+                         ) -> ray.data.Dataset:
     """Attach an `auto_issue` bool column to a scored Dataset.
 
     The score column is collected to the driver (bounded: one float per row of
     the *scored* dataset — pairs already filtered to >= threshold, or per-file
     scores, never the raw N(N-1)/2 vector), the cut-off is computed once, and
-    applied as a vectorized map_batches.
-    """
+    applied as a vectorized map_batches. When `fit_ds` is given, the quantile
+    anchors and M come from ITS score column while the flag is applied to
+    `ds` — used to fit the near-dup cut on distance-metric pairs only while
+    tagging the full ranked surface (substring rows land above the cut)."""
     col = np.concatenate([
         b.column(score_col).to_numpy(zero_copy_only=False)
-        for b in ds.select_columns([score_col]).iter_batches(
+        for b in (fit_ds if fit_ds is not None else ds)
+        .select_columns([score_col]).iter_batches(
             batch_format="pyarrow", batch_size=1 << 20)] or
         [np.empty(0, np.float64)])
     s = col if ascending else 1.0 - col

@@ -103,48 +103,85 @@ def _runs(t: pa.Table, key: str):
 
 def _emit_runs(ids: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                run_sel: np.ndarray, cap: int, mode: str) -> pa.Table:
-    """Vectorized pair emission for the selected runs of a sorted block."""
+    """Vectorized pair emission for the selected runs of a sorted block.
+
+    Operates on the UNIQUE ids of each run: duplicate (key, id) rows —
+    e.g. round-2 rep rows where one id is the min of several salt buckets
+    of the same band — must not push an under-cap bucket over the cap,
+    duplicate star edges, or inflate the logged drop counts."""
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    lens0 = ends - starts
+    sel = np.nonzero(run_sel & (lens0 >= 2))[0]
+    if len(sel) == 0:
+        return empty
+    # flatten selected runs, then one lexsort gives per-run sorted-unique ids
+    row_idx = np.concatenate([np.arange(starts[i], ends[i]) for i in sel])
+    run_of = np.repeat(np.arange(len(sel), dtype=np.int64), lens0[sel])
+    v = ids[row_idx]
+    order = np.lexsort((v, run_of))
+    run_s, v_s = run_of[order], v[order]
+    first = np.r_[True, (run_s[1:] != run_s[:-1]) | (v_s[1:] != v_s[:-1])]
+    run_u, v_u = run_s[first], v_s[first]
+    ustarts = np.nonzero(np.r_[True, run_u[1:] != run_u[:-1]])[0]
+    uends = np.r_[ustarts[1:], len(run_u)]
+    ulens = uends - ustarts
+
     out_a, out_b = [], []
-    lens = ends - starts
-    # star portion: all selected runs in star mode; oversized runs in all mode
-    star_sel = run_sel & (lens >= 2) if mode == "star" else \
-        run_sel & (lens > cap)
+    star_sel = ulens >= 2 if mode == "star" else ulens > cap
     if mode == "all" and star_sel.any():
         # "no silent caps": oversized buckets fall back to star edges —
         # log exactly how much pair work was capped (connectivity is kept)
-        ls = lens[star_sel]
+        ls = ulens[star_sel]
         dropped = int((ls * (ls - 1) // 2 - (ls - 1)).sum())
         from raydedup.util import log
         log.warning(
-            "star-edge cap: %d bucket(s) over cap=%d (max %d rows); "
+            "star-edge cap: %d bucket(s) over cap=%d (max %d unique ids); "
             "%d candidate pairs replaced by %d star edges",
             int(star_sel.sum()), cap, int(ls.max()), dropped,
             int((ls - 1).sum()))
     if star_sel.any():
         sidx = np.nonzero(star_sel)[0]
-        reps = np.repeat(sidx, lens[sidx])
-        row_idx = np.concatenate([np.arange(starts[i], ends[i]) for i in sidx]) \
-            if len(sidx) else np.empty(0, np.int64)
-        mins = np.minimum.reduceat(ids, starts)[reps] if len(row_idx) else \
-            np.empty(0, np.int64)
-        vals = ids[row_idx]
+        reps = np.repeat(sidx, ulens[sidx])
+        urow = np.concatenate([np.arange(ustarts[i], uends[i])
+                               for i in sidx])
+        mins = v_u[ustarts][reps]        # per-run min = first sorted-unique
+        vals = v_u[urow]
         keep = vals != mins
         out_a.append(mins[keep])
         out_b.append(vals[keep])
     if mode == "all":
-        small_sel = run_sel & (lens >= 2) & (lens <= cap)
+        small_sel = (ulens >= 2) & (ulens <= cap)
         for i in np.nonzero(small_sel)[0]:       # dup runs only: few
-            a, b = emit_pairs(ids[starts[i]:ends[i]], cap)
-            out_a.append(a)
-            out_b.append(b)
+            u = v_u[ustarts[i]:uends[i]]         # already sorted unique
+            ia, ib = np.triu_indices(len(u), k=1)
+            out_a.append(u[ia])
+            out_b.append(u[ib])
     a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
     b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
     return pa.table({"id_a": pa.array(a, pa.int64()),
                      "id_b": pa.array(b, pa.int64())})
 
 
-def run_minima(srt: ray.data.Dataset, key: str, num_partitions: int
-               ) -> ray.data.Dataset:
+def _boundary_rows_fn(key: str):
+    """First+last run of each key-sorted block (buckets can straddle block
+    edges): the shared boundary scheme of run_minima and grouped_pairs."""
+    def boundary_rows(t: pa.Table) -> pa.Table:
+        k, ids, starts, ends = _runs(t, key)
+        if len(starts) == 0:
+            return pa.table({key: t.column(key).slice(0, 0),
+                             "id": pa.array([], pa.int64())})
+        take = np.r_[np.arange(starts[0], ends[0]),
+                     np.arange(starts[-1], ends[-1])] if len(starts) > 1 \
+            else np.arange(starts[0], ends[0])
+        take = np.unique(take)
+        return pa.table({key: pa.array(k[take]).cast(t.schema.field(key).type),
+                         "id": pa.array(ids[take], pa.int64())})
+
+    return boundary_rows
+
+
+def run_minima(srt: ray.data.Dataset, key: str) -> ray.data.Dataset:
     """key-sorted (key, id) rows -> (id,) of the min id per key run (the
     per-bucket representative). Interior runs resolve locally; first/last
     runs per block go through a small Min-aggregate (same boundary scheme
@@ -158,20 +195,8 @@ def run_minima(srt: ray.data.Dataset, key: str, num_partitions: int
         mins = np.minimum.reduceat(ids, starts)[1:-1]
         return pa.table({"id": pa.array(mins, pa.int64())})
 
-    def boundary_rows(t: pa.Table) -> pa.Table:
-        k, ids, starts, ends = _runs(t, key)
-        if len(starts) == 0:
-            return pa.table({key: t.column(key).slice(0, 0),
-                             "id": pa.array([], pa.int64())})
-        take = np.r_[np.arange(starts[0], ends[0]),
-                     np.arange(starts[-1], ends[-1])] if len(starts) > 1 \
-            else np.arange(starts[0], ends[0])
-        take = np.unique(take)
-        return pa.table({key: pa.array(k[take]).cast(t.schema.field(key).type),
-                         "id": pa.array(ids[take], pa.int64())})
-
     inner = srt.map_batches(interior_mins, batch_format="pyarrow")
-    brows = srt.map_batches(boundary_rows, batch_format="pyarrow")
+    brows = srt.map_batches(_boundary_rows_fn(key), batch_format="pyarrow")
     btbl = collect_up_to(brows, DRIVER_SMALL_LIMIT)
     if btbl is not None:
         if btbl.num_rows == 0 or key not in btbl.column_names:
@@ -229,23 +254,11 @@ def grouped_pairs(rows: ray.data.Dataset, key: str, cap: int,
         sel[1:-1] = True
         return _emit_runs(ids, starts, ends, sel, cap, mode)
 
-    def boundary(t: pa.Table) -> pa.Table:
-        k, ids, starts, ends = _runs(t, key)
-        if len(starts) == 0:
-            return pa.table({key: t.column(key).slice(0, 0),
-                             "id": pa.array([], pa.int64())})
-        take = np.r_[np.arange(starts[0], ends[0]),
-                     np.arange(starts[-1], ends[-1])] if len(starts) > 1 \
-            else np.arange(starts[0], ends[0])
-        take = np.unique(take)
-        return pa.table({key: pa.array(k[take]).cast(t.schema.field(key).type),
-                         "id": pa.array(ids[take], pa.int64())})
-
     inner_pairs = srt.map_batches(interior, batch_format="pyarrow")
 
     # boundary rows: tiny (first+last run per block). Driver-side numpy while
     # small; aggregate + join fallback beyond DRIVER_SMALL_LIMIT.
-    brows = srt.map_batches(boundary, batch_format="pyarrow")
+    brows = srt.map_batches(_boundary_rows_fn(key), batch_format="pyarrow")
     btbl = collect_up_to(brows, DRIVER_SMALL_LIMIT)
     if btbl is not None:
         boundary_pairs = ray.data.from_arrow(
@@ -278,6 +291,15 @@ def grouped_pairs(rows: ray.data.Dataset, key: str, cap: int,
     else:
         def all_pairs(t: pa.Table) -> pa.Table:
             ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            g = len(np.unique(ids))
+            if g > cap:
+                # "no silent caps" holds on this path too
+                from raydedup.util import log
+                log.warning(
+                    "star-edge cap (boundary groupby): bucket with %d "
+                    "unique ids over cap=%d; %d candidate pairs replaced "
+                    "by %d star edges", g, cap,
+                    g * (g - 1) // 2 - (g - 1), g - 1)
             a, b = emit_pairs(ids, cap)
             return pa.table({"id_a": pa.array(a, pa.int64()),
                              "id_b": pa.array(b, pa.int64())})
@@ -388,6 +410,15 @@ def auto_salt_buckets(sigs: ray.data.Dataset, cfg: EngineConfig) -> int:
     g = np.sort(tbl.column("gkey").to_numpy(zero_copy_only=False))
     starts = np.nonzero(np.r_[True, g[1:] != g[:-1]])[0]
     max_run = int(np.diff(np.r_[starts, len(g)]).max())
+    # max_run/frac is only a valid hot-bucket estimate when the sample
+    # actually resolves the bucket (frac * H >> 1). One or two hits per
+    # key is what a perfectly uniform corpus produces — with no evidence
+    # bar, the 1/frac = n/sample floor would force salting UNCONDITIONALLY
+    # on any skew-free corpus above ~0.5B docs. Below the bar, skip
+    # salting: an unresolvable hot bucket degrades to capped star edges
+    # with the drop count logged (the documented backstop).
+    if max_run < 3:
+        return 1
     est_hot = max_run / frac
     if est_hot <= _AUTO_SALT_THRESHOLD:
         return 1

@@ -192,7 +192,6 @@ def _expand_join(pairs: ray.data.Dataset, srt: ray.data.Dataset,
 
 
 def expand_to_members(pairs: ray.data.Dataset, srt: ray.data.Dataset,
-                      sigs: ray.data.Dataset,
                       cfg: EngineConfig) -> ray.data.Dataset:
     """Rep-level verified pairs -> member-level pairs (see module doc).
 

@@ -27,11 +27,6 @@ from raydedup.util import hash_join, unpack_u64_2d
 
 def _score_batch(cfg: EngineConfig, force_exact: bool = False):
     P = cfg.minhash.num_perm
-    thr = cfg.verify.threshold
-    band = cfg.verify.exact_band
-    use_exact = cfg.verify.use_exact or force_exact
-
-    cthr = cfg.verify.containment_threshold
 
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -40,40 +35,64 @@ def _score_batch(cfg: EngineConfig, force_exact: bool = False):
         sig_a = unpack_u64_2d(batch.column("minhash_a"), P)
         sig_b = unpack_u64_2d(batch.column("minhash_b"), P)
         est = (sig_a == sig_b).mean(axis=1)
-        jac = est.copy()
-        cont = est.copy()
-        if use_exact:
-            # exact set math near/above threshold and wherever a
-            # high-containment substring match is possible (see
-            # _broadcast_verify.score for the bound)
-            need = np.ones(n, dtype=bool) if force_exact \
-                else est >= min(thr - band, 0.2)
-            if need.any():
-                from raydedup import kernels as K
-                from raydedup.util import unpack_u64_flat
-                flat_a, offs_a = unpack_u64_flat(batch.column("shingles_a"))
-                flat_b, offs_b = unpack_u64_flat(batch.column("shingles_b"))
-                # one ragged array: rows 0..n-1 = A sets, n..2n-1 = B sets
-                flat = np.concatenate([flat_a, flat_b])
-                offs = np.concatenate([offs_a, offs_a[-1] + offs_b[1:]])
-                sel = np.nonzero(need)[0]
-                _apply_exact(jac, cont, sel, flat, offs, sel, n + sel, K)
-        dist = np.clip(1.0 - jac, 0.0, 1.0)
-        is_dup = jac >= thr
-        is_sub = (~is_dup) & (cthr > 0) & (cont >= cthr)
-        kind = np.where(is_dup, "near_dup", np.where(is_sub, "substring", ""))
-        out = pa.table({
-            "id_a": batch.column("id_a"),
-            "id_b": batch.column("id_b"),
-            "est_jaccard": pa.array(est, pa.float64()),
-            "jaccard": pa.array(jac, pa.float64()),
-            "containment": pa.array(cont, pa.float64()),
-            "distance": pa.array(dist, pa.float64()),
-            "match_kind": pa.array(kind.tolist(), pa.string()),
-        })
-        return out.filter(pa.array(is_dup | is_sub))
+
+        def get_sets():
+            from raydedup.util import unpack_u64_flat
+            flat_a, offs_a = unpack_u64_flat(batch.column("shingles_a"))
+            flat_b, offs_b = unpack_u64_flat(batch.column("shingles_b"))
+            # one ragged array: rows 0..n-1 = A sets, n..2n-1 = B sets
+            flat = np.concatenate([flat_a, flat_b])
+            offs = np.concatenate([offs_a, offs_a[-1] + offs_b[1:]])
+            rows = np.arange(n, dtype=np.int64)
+            return flat, offs, rows, n + rows
+
+        return _finish_scores(batch.column("id_a"), batch.column("id_b"),
+                              est, get_sets, cfg, force_exact)
 
     return fn
+
+
+def _finish_scores(ids_a_col, ids_b_col, est: np.ndarray, get_sets,
+                   cfg, force_exact: bool) -> pa.Table:
+    """Shared tail of both verification paths (broadcast lookup and hash
+    join): exact-gate, substring/near-dup classification, output table,
+    threshold filter. get_sets() lazily yields (flat, offs, rows_a, rows_b)
+    — the ragged shingle arrays and each pair's row indices into them.
+
+    Exact set math runs where est J is near/above threshold OR where a
+    high-containment substring match is still possible: a contained set of
+    size m in a set of size M has J = m/M, so est J alone bounds containment
+    candidates from below; cheap blanket rule: exact-check est >= small
+    floor."""
+    thr = cfg.verify.threshold
+    band = cfg.verify.exact_band
+    use_exact = cfg.verify.use_exact or force_exact
+    cthr = cfg.verify.containment_threshold
+    jac = est.copy()
+    cont = est.copy()
+    if use_exact:
+        need = np.ones(len(est), dtype=bool) if force_exact \
+            else est >= min(thr - band, 0.2)
+        if need.any():
+            from raydedup import kernels as K
+            flat, offs, rows_a, rows_b = get_sets()
+            sel = np.nonzero(need)[0]
+            _apply_exact(jac, cont, sel, flat, offs,
+                         rows_a[sel], rows_b[sel], K)
+    dist = np.clip(1.0 - jac, 0.0, 1.0)
+    is_dup = jac >= thr
+    is_sub = (~is_dup) & (cthr > 0) & (cont >= cthr)
+    kind = np.where(is_dup, "near_dup", np.where(is_sub, "substring", ""))
+    out = pa.table({
+        "id_a": ids_a_col,
+        "id_b": ids_b_col,
+        "est_jaccard": pa.array(est, pa.float64()),
+        "jaccard": pa.array(jac, pa.float64()),
+        "containment": pa.array(cont, pa.float64()),
+        "distance": pa.array(dist, pa.float64()),
+        "match_kind": pa.array(kind.tolist(), pa.string()),
+    })
+    return out.filter(pa.array(is_dup | is_sub))
 
 
 def _apply_exact(jac: np.ndarray, cont: np.ndarray, sel: np.ndarray,
@@ -173,12 +192,6 @@ def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     ref = ray.remote(num_cpus=1)(_assemble_broadcast) \
         .remote(cfg.minhash.num_perm, *sub.to_arrow_refs())
 
-    thr = cfg.verify.threshold
-    band = cfg.verify.exact_band
-    use_exact = cfg.verify.use_exact or force_exact
-
-    cthr = cfg.verify.containment_threshold
-
     def score(t: pa.Table) -> pa.Table:
         bids, bperm, bmh, bflat, boffs = ray.get(ref)
         ia = bperm[np.searchsorted(
@@ -186,36 +199,9 @@ def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         ib = bperm[np.searchsorted(
             bids, t.column("id_b").to_numpy(zero_copy_only=False))]
         est = (bmh[ia] == bmh[ib]).mean(axis=1)
-        jac = est.copy()
-        cont = est.copy()
-        if use_exact:
-            # exact set math where est J is near/above threshold OR where a
-            # high-containment substring match is still possible: a contained
-            # set of size m in a set of size M has J = m/M, so est J alone
-            # bounds containment candidates from below by thr_c * m/M; cheap
-            # blanket rule: always exact-check pairs with est >= small floor.
-            need = np.ones(len(est), dtype=bool) if force_exact \
-                else est >= min(thr - band, 0.2)
-            if need.any():
-                from raydedup import kernels as K
-                sel = np.nonzero(need)[0]
-                _apply_exact(jac, cont, sel, bflat, boffs,
-                             ia[sel], ib[sel], K)
-        dist = np.clip(1.0 - jac, 0.0, 1.0)
-        is_dup = jac >= thr
-        is_sub = (~is_dup) & (cthr > 0) & (cont >= cthr)
-        kind = np.where(is_dup, "near_dup", np.where(is_sub, "substring", ""))
-        keep = is_dup | is_sub
-        out = pa.table({
-            "id_a": t.column("id_a"),
-            "id_b": t.column("id_b"),
-            "est_jaccard": pa.array(est, pa.float64()),
-            "jaccard": pa.array(jac, pa.float64()),
-            "containment": pa.array(cont, pa.float64()),
-            "distance": pa.array(dist, pa.float64()),
-            "match_kind": pa.array(kind.tolist(), pa.string()),
-        })
-        return out.filter(pa.array(keep))
+        return _finish_scores(t.column("id_a"), t.column("id_b"), est,
+                              lambda: (bflat, boffs, ia, ib),
+                              cfg, force_exact)
 
     return pairs.map_batches(score, batch_format="pyarrow")
 
@@ -230,7 +216,9 @@ def _broadcast_bytes_ok(n_pairs: int, sigs: ray.data.Dataset,
     try:
         mean_sh = sigs.mean("n_shingles") or 0.0
     except Exception:
-        return True                    # no stats: keep the fast path
+        # no stats: the SAFE fallback is the join path — approving an
+        # ungated broadcast defeats the gate's whole purpose
+        return False
     per_row = 8.0 * mean_sh + 8.0 * cfg.minhash.num_perm + 32.0
     return 2.0 * n_pairs * per_row <= cfg.broadcast_byte_limit
 
