@@ -537,6 +537,68 @@ def _q_semantic_dedup(sf_dir: str):
         n_cells=_IVF_N_CELLS, seed=_IVF_SEED, trained=False)
 
 
+def _inc_split(sf_dir: str):
+    """documents split into (base, increment) by doc_id % 5 == 4 — the
+    deterministic 'daily increment' the incremental-dedup queries use."""
+    docs = _docs_as_code(sf_dir)
+
+    def part(is_new: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("id").to_numpy(zero_copy_only=False)
+            m = (ids % 5) == 4
+            return t.filter(pa.array(m if is_new else ~m))
+        return fn
+
+    return (docs.map_batches(part(False), batch_format="pyarrow"),
+            docs.map_batches(part(True), batch_format="pyarrow"))
+
+
+def _inc_result(sf_dir: str):
+    """Shared incremental run: sign the base (the 'stored' signatures),
+    then dedupe the increment against them without re-reading base content
+    (raydedup/stages/incremental.py)."""
+    from raydedup.stages.incremental import incremental_on_files
+    from raydedup.stages.ingest import ingest
+    from raydedup.stages.signatures import compute_signatures
+    cfg = _cfg()
+    base_files, new_files = _inc_split(sf_dir)
+    base_sigs = compute_signatures(ingest(base_files), cfg).materialize()
+    return incremental_on_files(new_files, base_sigs, cfg)
+
+
+def _q_incremental_dedup_pairs(sf_dir: str):
+    """Incremental dedup vs stored base signatures: distance-metric pairs
+    (exact + near_dup) touching >= 1 increment doc. Oracle: the exact-
+    Jaccard pair CTE filtered to pairs with an increment endpoint."""
+    import pyarrow.compute as pc
+    res = _inc_result(sf_dir)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("match_kind"), pa.scalar("substring"))
+        t = t.filter(keep)
+        return pa.table({
+            "id_a": t.column("id_a"),
+            "id_b": t.column("id_b"),
+            "jaccard": t.column("jaccard"),
+            "distance": t.column("distance"),
+            "match_kind": t.column("match_kind"),
+        })
+
+    out = res.pairs.map_batches(fmt, batch_format="pyarrow")
+    return _collect(out, pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("jaccard", pa.float64()), ("distance", pa.float64()),
+        ("match_kind", pa.string())]))
+
+
+def _q_incremental_keep_delta(sf_dir: str):
+    """Increment docs that survive dedup against the base: min-id new doc
+    of each incremental component with no base member. Oracle: recursive
+    CTE over the increment-touching pair set."""
+    res = _inc_result(sf_dir)
+    return _collect(res.keep_delta, pa.schema([("id", pa.int64())]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dup_groups": _q_exact_dup_groups,
@@ -569,6 +631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_nn_ranking": _q_ivf_nn_ranking,
         "ivf_cosine_pairs": _q_ivf_cosine_pairs,
         "semantic_dedup": _q_semantic_dedup,
+        "incremental_dedup_pairs": _q_incremental_dedup_pairs,
+        "incremental_keep_delta": _q_incremental_keep_delta,
     }
 
 
@@ -1269,5 +1333,42 @@ def oracle_sql() -> dict[str, str]:
                        AS off_topic_q
             FROM documents d CROSS JOIN params p
             LEFT JOIN sc x ON x.id = d.doc_id
+        """,
+        "incremental_dedup_pairs": f"""
+            WITH {_PAIR_CTES}
+            SELECT id_a, id_b, j AS jaccard, d AS distance,
+                   kind AS match_kind
+            FROM dist_p WHERE id_a % 5 = 4 OR id_b % 5 = 4
+        """,
+        "incremental_keep_delta": f"""
+            WITH RECURSIVE {_PAIR_CTES}, incp AS (
+              SELECT id_a, id_b FROM dist_p
+              WHERE id_a % 5 = 4 OR id_b % 5 = 4
+            ), und AS (
+              SELECT id_a AS s, id_b AS t FROM incp
+              UNION SELECT id_b, id_a FROM incp
+            ), reach AS (
+              SELECT s AS id, t AS r FROM und
+              UNION
+              SELECT reach.id, und.t FROM reach JOIN und ON reach.r = und.s
+            ), cc AS (
+              SELECT id, least(id, min(r)) AS cluster_id
+              FROM reach GROUP BY id
+            ), newids AS (
+              SELECT doc_id AS id FROM documents WHERE doc_id % 5 = 4
+            ), nodes AS (
+              SELECT id FROM newids UNION SELECT s FROM und
+            ), lab AS (
+              SELECT n.id, coalesce(c.cluster_id, n.id) AS cluster_id,
+                     CASE WHEN n.id % 5 = 4 THEN 1 ELSE 0 END AS is_new
+              FROM nodes n LEFT JOIN cc c ON c.id = n.id
+            ), agg AS (
+              SELECT cluster_id,
+                     min(CASE WHEN is_new = 1 THEN id END) AS keep_id,
+                     max(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS has_old
+              FROM lab GROUP BY 1
+            )
+            SELECT keep_id AS id FROM agg
+            WHERE has_old = 0 AND keep_id IS NOT NULL
         """,
     }
