@@ -274,6 +274,27 @@ def _q_tumbling_window(sf_dir: str):
     return out.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_hopping_window(sf_dir: str):
+    """Hopping windows (width 3600 s, hop 900 s): each event fans out to 4
+    overlapping windows; oracle replays the assignment with a range() cross
+    join."""
+    from raydedup.stages.windows import hopping_window
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    out = hopping_window(ev, width_s=3600, hop_s=900)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "window_start_s": t.column("window_start_s"),
+            "n_events": t.column("n_events"),
+            "sum_value": _round6(t.column("sum_value")),
+            "avg_value": _round6(t.column("avg_value")),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
 def _q_session_windows(sf_dir: str):
     from raydedup.stages.windows import session_windows
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -620,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pair_ranking": _q_embedding_pair_ranking,
         "near_dup_pairs_exact": _q_near_dup_pairs_exact,
         "tumbling_window": _q_tumbling_window,
+        "hopping_window": _q_hopping_window,
         "session_windows": _q_session_windows,
         "substring_pairs": _q_substring_pairs,
         "planted_dup_groups": _q_planted_dup_groups,
@@ -1082,6 +1104,26 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(value) * 1e6 + 0.5) / 1e6 AS sum_value,
                    floor(avg(value) * 1e6 + 0.5) / 1e6 AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_window": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+              FROM events
+            ), asn AS (
+              SELECT e.event_type, e.value,
+                     (CAST(floor(e.ts_s / 900) AS BIGINT) - r.k) * 900
+                         AS window_start_s,
+                     e.ts_s
+              FROM ev e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) r
+            )
+            SELECT event_type, window_start_s,
+                   count(*) AS n_events,
+                   floor(sum(value) * 1e6 + 0.5) / 1e6 AS sum_value,
+                   floor(avg(value) * 1e6 + 0.5) / 1e6 AS avg_value
+            FROM asn
+            WHERE window_start_s + 3600 > ts_s AND window_start_s >= 0
+            GROUP BY 1, 2
         """,
         "session_windows": """
             WITH d AS (

@@ -100,7 +100,11 @@ class EngineConfig:
     broadcast_id_limit: int = 20_000_000
     # broadcast-verify additionally gates on ESTIMATED collected payload
     # bytes (ids x (mean shingle bytes + signature)); beyond this, join.
-    broadcast_byte_limit: int = 2 << 30
+    # The broadcast object is ONE zero-copy plasma copy per node (workers
+    # map it read-only), and the assembly task peaks at ~2x payload heap —
+    # 8 GiB fits the 128 GiB target node with wide margin. The semi-
+    # filtered hash-join path beyond is the true cluster-scale fallback.
+    broadcast_byte_limit: int = 8 << 30
     # per-partition checkpointing of the signature stage (hash(id) % parts);
     # chunk_parts bounds work lost to a mid-run kill (None = one job).
     ckpt_num_parts: int = 16

@@ -243,9 +243,32 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
             _broadcast_bytes_ok(n, sigs, cfg):
         return _broadcast_verify(pairs, sigs, cfg, force_exact)
     proj = sigs.select_columns(["id", "minhash", "shingles"])
+    # The join path is entered when the candidate-touched PAYLOAD exceeds
+    # the broadcast byte gate — but the candidate ID LIST is ints only
+    # (16 B/pair) and almost always still driver-small. Semi-filtering the
+    # signature side to candidate-touched rows BEFORE the joins keeps the
+    # shuffle at O(candidate rows) instead of O(corpus rows) of ~3 KB
+    # payloads (measured at 1.6M rows / 16 CPUs: the unfiltered first join
+    # spilled for 12+ minutes; filtered it is seconds).
+    if 2 * n <= cfg.broadcast_id_limit:
+        cand_ids = np.unique(np.concatenate([
+            _collect_ids(pairs, "id_a"), _collect_ids(pairs, "id_b")]))
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = t.column("id").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(cand_ids, ids),
+                          0, len(cand_ids) - 1)
+            return t.filter(pa.array(cand_ids[pos] == ids))
+
+        proj = proj.map_batches(keep, batch_format="pyarrow")
+    # materialized so j2's schema inference and execution reuse it (an
+    # unmaterialized j1 would execute once for .schema() and once again
+    # inside j2 — the schema peek alone runs the full join)
+    proj = proj.materialize()
     j1 = hash_join(pairs, proj, on="id_a", right_on="id",
                    num_partitions=cfg.join_num_partitions)
-    j1 = j1.rename_columns({"minhash": "minhash_a", "shingles": "shingles_a"})
+    j1 = j1.rename_columns({"minhash": "minhash_a", "shingles": "shingles_a"}) \
+        .materialize()
     j2 = hash_join(j1, proj, on="id_b", right_on="id",
                    num_partitions=cfg.join_num_partitions)
     j2 = j2.rename_columns({"minhash": "minhash_b", "shingles": "shingles_b"})

@@ -47,6 +47,50 @@ def tumbling_window(events: ray.data.Dataset, width_s: int,
         )
 
 
+def hopping_window(events: ray.data.Dataset, width_s: int, hop_s: int,
+                   key: str = "event_type", ts_col: str = "ts",
+                   value_col: str = "value") -> ray.data.Dataset:
+    """Hopping (sliding) windows: width width_s, advancing by hop_s; an
+    event at t belongs to every window start w = m*hop_s with
+    w <= t < w + width_s (ceil(width/hop) windows; width_s must be a
+    multiple-free positive int, hop_s <= width_s for overlap).
+
+    -> (key, window_start_s, n_events, sum_value, avg_value).
+
+    Execution: vectorized replication inside map_batches (each event row
+    fans out to its window assignments — the flat_map-shaped step), then
+    the same single hash-shuffle grouped aggregate as tumbling_window.
+    Replication factor is the constant ceil(width/hop), so the exchange
+    volume is predictable; windows never start before epoch 0."""
+    if hop_s <= 0 or width_s <= 0:
+        raise ValueError("width_s and hop_s must be positive")
+    n_off = -(-width_s // hop_s)        # ceil
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts_us = t.column(ts_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts_s = ts_us // 1_000_000
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        m_hi = ts_s // hop_s                      # latest window index
+        k = np.tile(np.arange(n_off, dtype=np.int64), len(ts_s))
+        w = (np.repeat(m_hi, n_off) - k) * hop_s
+        tt = np.repeat(ts_s, n_off)
+        keep = (w + width_s > tt) & (w >= 0)
+        return pa.table({
+            key: pa.array(np.repeat(keys, n_off)[keep]),
+            "window_start_s": pa.array(w[keep], pa.int64()),
+            value_col: pa.array(np.repeat(vals, n_off)[keep]),
+        })
+
+    return events.map_batches(assign, batch_format="pyarrow") \
+        .groupby([key, "window_start_s"]).aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name="sum_value"),
+            Mean(value_col, alias_name="avg_value"),
+        )
+
+
 def session_windows(events: ray.data.Dataset, gap_s: int,
                     key: str = "user_id", ts_col: str = "ts"
                     ) -> ray.data.Dataset:

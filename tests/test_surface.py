@@ -141,3 +141,49 @@ def test_session_windows_simple():
     assert u1.n_events.tolist() == [3, 2]
     assert u1.session_start.tolist() == [base, base + 5000]
     assert u1.session_end.tolist() == [base + 20, base + 5010]
+
+
+def test_hopping_window_assignment_and_aggregates():
+    """Each event lands in ceil(width/hop) windows; a brute-force pandas
+    replay of the assignment rule must agree exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from raydedup.stages.windows import hopping_window
+    rng = np.random.default_rng(3)
+    base = 1_700_000_000
+    ts_s = base + rng.integers(0, 20_000, size=400)
+    etype = rng.integers(0, 3, size=400)
+    val = rng.normal(size=400)
+    t = pa.table({
+        "ts": pa.array(ts_s * 1_000_000, pa.timestamp("us")),
+        "event_type": pa.array(etype, pa.int64()),
+        "value": pa.array(val, pa.float64()),
+    })
+    width, hop = 3600, 900
+    out = hopping_window(rd.from_arrow(t), width_s=width, hop_s=hop) \
+        .to_pandas().sort_values(["event_type", "window_start_s"]) \
+        .reset_index(drop=True)
+
+    rows = []
+    for s, e, v in zip(ts_s, etype, val):
+        m_hi = s // hop
+        for k in range(-(-width // hop)):
+            w = (m_hi - k) * hop
+            if w + width > s and w >= 0:
+                rows.append((e, w, v))
+    ref = pd.DataFrame(rows, columns=["event_type", "window_start_s", "v"]) \
+        .groupby(["event_type", "window_start_s"], as_index=False) \
+        .agg(n_events=("v", "size"), sum_value=("v", "sum"),
+             avg_value=("v", "mean")) \
+        .sort_values(["event_type", "window_start_s"]).reset_index(drop=True)
+    assert len(out) == len(ref)
+    assert (out.event_type.values == ref.event_type.values).all()
+    assert (out.window_start_s.values == ref.window_start_s.values).all()
+    assert (out.n_events.values == ref.n_events.values).all()
+    assert np.allclose(out.sum_value.values, ref.sum_value.values)
+    assert np.allclose(out.avg_value.values, ref.avg_value.values)
+    # every event contributes to exactly ceil(width/hop) windows here
+    # (timestamps are far from epoch 0): total count = 4x events
+    assert out.n_events.sum() == 4 * 400
