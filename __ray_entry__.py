@@ -115,6 +115,20 @@ def _q_lang_id(sf_dir: str):
     return lang_id(_documents(sf_dir))
 
 
+def _q_quality_filter(sf_dir: str):
+    from raydedup.stages.textstats import quality_filter
+    return _collect(quality_filter(_documents(sf_dir)),
+                    pa.schema([("doc_id", pa.int64()),
+                               ("lang", pa.string()),
+                               ("n_tokens", pa.int64()),
+                               ("alpha_ratio", pa.float64())]))
+
+
+def _q_corpus_stats_by_lang(sf_dir: str):
+    from raydedup.stages.textstats import corpus_stats_by_lang
+    return corpus_stats_by_lang(_documents(sf_dir))
+
+
 _PAIR_SCHEMA = pa.schema([
     ("id_a", pa.int64()), ("id_b", pa.int64()),
     ("est_jaccard", pa.float64()), ("jaccard", pa.float64()),
@@ -630,6 +644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
         "lang_id": _q_lang_id,
+        "quality_filter": _q_quality_filter,
+        "corpus_stats_by_lang": _q_corpus_stats_by_lang,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "dup_clusters": _q_dup_clusters,
         "near_dedup_keep_list": _q_near_dedup_keep_list,
@@ -1040,6 +1056,51 @@ def oracle_sql() -> dict[str, str]:
                    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                        AS fingerprint
             FROM documents
+        """,
+        "quality_filter": r"""
+            WITH q AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text,
+                                                     '[^A-Za-z]', '', 'g'))
+                               / CAST(length(text) AS DOUBLE)
+                          ELSE 0.0 END AS alpha_ratio
+              FROM documents
+            )
+            SELECT doc_id, lang, n_tokens, alpha_ratio FROM q
+            WHERE n_tokens BETWEEN 20 AND 80
+              AND alpha_ratio >= 0.82
+              AND lang IN ('de', 'en', 'es', 'fr')
+        """,
+        "corpus_stats_by_lang": r"""
+            WITH q AS (
+              SELECT lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         AS alpha_chars
+              FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CASE WHEN count(*) > 0
+                        THEN CAST(sum(n_tokens) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)
+                        ELSE 0.0 END AS avg_tokens,
+                   CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+                   CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CASE WHEN sum(n_chars) > 0
+                        THEN CAST(sum(alpha_chars) AS DOUBLE)
+                             / CAST(sum(n_chars) AS DOUBLE)
+                        ELSE 0.0 END AS alpha_char_ratio
+            FROM q GROUP BY lang
         """,
         "embedding_near_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

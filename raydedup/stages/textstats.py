@@ -63,41 +63,44 @@ def _string_parts(col):
     return offs, data
 
 
-def token_counts(ds: ray.data.Dataset, text_col: str = "text",
-                 id_col: str = "doc_id") -> ray.data.Dataset:
-    """-> (doc_id, n_tokens). n_tokens = number of maximal non-whitespace runs
+def _ntokens(col) -> np.ndarray:
+    """Per-row whitespace-token counts: number of maximal non-whitespace runs
     (matches `len(regexp_split_to_array(trim(text),'\\s+'))` with empty-string
     guard in the SQL oracle).
 
-    Vectorized: run starts are non-whitespace bytes whose predecessor (within
-    the doc) is whitespace; one bincount over the doc index gives the counts.
-    """
+    Vectorized byte path: run starts are non-whitespace bytes whose
+    predecessor (within the doc) is whitespace; one bincount over the doc
+    index gives the counts. Non-ASCII batches fall back to the regex (\\S+)
+    path, which counts the same runs."""
+    parts = _string_parts(col)
+    if parts is None:                        # non-ASCII: regex fallback
+        texts = col.to_pylist()
+        return np.fromiter((len(_TOKEN_RE.findall(x or "")) for x in texts),
+                           dtype=np.int64, count=len(texts))
+    offs, data = parts
+    ndocs = len(offs) - 1
+    if len(data) == 0:
+        return np.zeros(ndocs, dtype=np.int64)
+    nonws = ~_WS_MASK[data]
+    prev = np.empty_like(nonws)
+    prev[0] = False
+    prev[1:] = nonws[:-1]
+    doc_starts = offs[:-1]
+    doc_starts = doc_starts[doc_starts < len(prev)]
+    prev[doc_starts] = False
+    starts = np.nonzero(nonws & ~prev)[0]
+    doc_of = np.searchsorted(offs, starts, side="right") - 1
+    return np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+
+
+def token_counts(ds: ray.data.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id") -> ray.data.Dataset:
+    """-> (doc_id, n_tokens). See _ntokens for the counting rule."""
 
     def fn(t: pa.Table) -> pa.Table:
-        col = t.column(text_col)
-        parts = _string_parts(col)
-        if parts is None:                        # non-ASCII: regex fallback
-            texts = col.to_pylist()
-            n = np.fromiter((len(_TOKEN_RE.findall(x or "")) for x in texts),
-                            dtype=np.int64, count=len(texts))
-        else:
-            offs, data = parts
-            ndocs = len(offs) - 1
-            if len(data) == 0:
-                n = np.zeros(ndocs, dtype=np.int64)
-            else:
-                nonws = ~_WS_MASK[data]
-                prev = np.empty_like(nonws)
-                prev[0] = False
-                prev[1:] = nonws[:-1]
-                doc_starts = offs[:-1]
-                doc_starts = doc_starts[doc_starts < len(prev)]
-                prev[doc_starts] = False
-                starts = np.nonzero(nonws & ~prev)[0]
-                doc_of = np.searchsorted(offs, starts, side="right") - 1
-                n = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
         return pa.table({id_col: t.column(id_col),
-                         "n_tokens": pa.array(n, pa.int64())})
+                         "n_tokens": pa.array(_ntokens(t.column(text_col)),
+                                              pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -220,3 +223,136 @@ def lang_id(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
     return ds.map_batches(LangIdActor, batch_format="pyarrow",
                           batch_size=2048, concurrency=(1, concurrency),
                           num_cpus=1)
+
+
+def quality_filter(ds: ray.data.Dataset,
+                   min_tokens: int = 20, max_tokens: int = 80,
+                   min_alpha_ratio: float = 0.82,
+                   langs: tuple = ("de", "en", "es", "fr"),
+                   text_col: str = "text", id_col: str = "doc_id",
+                   lang_col: str = "lang") -> ray.data.Dataset:
+    """Composite training-data quality filter -> keep list
+    (doc_id, lang, n_tokens, alpha_ratio) of documents passing ALL of:
+    min_tokens <= n_tokens <= max_tokens, alpha_ratio >= min_alpha_ratio,
+    lang in langs.
+
+    The canonical "quality filtering" pass of an LLM data pipeline (length
+    bounds + alphabetic-density + language whitelist). ONE scan, zero
+    shuffles: token counts, character stats and the predicate all evaluate
+    inside a single map_batches, so at 100 TB this is embarrassingly
+    parallel over blocks. The predicate expressions are byte-identical to
+    the SQL oracle's (n_tokens per _ntokens; alpha_ratio = alpha_chars /
+    CAST(n_chars AS DOUBLE) — the same IEEE division DuckDB performs, so
+    the >= threshold compare agrees exactly)."""
+    lang_set = set(langs)
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        ntok = _ntokens(s if isinstance(s, pa.Array)
+                        else s.combine_chunks())
+        n = pc.cast(pc.utf8_length(s), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        alpha = pc.cast(pc.count_substring_regex(s, "[A-Za-z]"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ratio = np.where(n > 0,
+                         alpha / np.maximum(n, 1).astype(np.float64), 0.0)
+        in_langs = pc.fill_null(pc.is_in(
+            pc.cast(t.column(lang_col), pa.string()),
+            value_set=pa.array(sorted(lang_set), pa.string())), False) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        keep = ((ntok >= min_tokens) & (ntok <= max_tokens)
+                & (ratio >= min_alpha_ratio) & in_langs)
+        out = pa.table({
+            id_col: t.column(id_col),
+            lang_col: t.column(lang_col),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "alpha_ratio": pa.array(ratio, pa.float64()),
+        })
+        return out.filter(pa.array(keep))
+
+    # NOTE: if NOTHING passes, Ray drops the (typed-empty) blocks and the
+    # dataset loses its schema; consumers that need a stable schema on a
+    # possibly-all-filtered corpus should collect via a typed-empty
+    # fallback (see __ray_entry__._collect).
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def corpus_stats_by_lang(ds: ray.data.Dataset, text_col: str = "text",
+                         lang_col: str = "lang") -> ray.data.Dataset:
+    """Per-language corpus statistics -> (lang, n_docs, total_tokens,
+    avg_tokens, min_tokens, max_tokens, total_chars, alpha_char_ratio).
+
+    Partial-aggregation pattern (SURVEY §4 "pre-aggregate inside
+    map_batches"): each batch groups by lang LOCALLY and emits one partial
+    row per language, so the global groupby shuffles ~|langs| rows per
+    block instead of every document. All ratios derive from INTEGER sums
+    (avg_tokens = total_tokens/n_docs, alpha_char_ratio =
+    total_alpha/total_chars), so the result is exact and independent of
+    partial-merge order — no float-sum nondeterminism, no rounding."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        ntok = _ntokens(s if isinstance(s, pa.Array)
+                        else s.combine_chunks())
+        nchars = pc.cast(pc.utf8_length(s), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        alpha = pc.cast(pc.count_substring_regex(s, "[A-Za-z]"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        langs = np.asarray(t.column(lang_col).to_pylist(), dtype=object)
+        uniq, inv = np.unique(langs, return_inverse=True)
+        k = len(uniq)
+        return pa.table({
+            lang_col: pa.array(uniq.tolist(), pa.string()),
+            "n_docs": pa.array(np.bincount(inv, minlength=k), pa.int64()),
+            "sum_tokens": pa.array(
+                np.bincount(inv, weights=ntok, minlength=k).astype(np.int64),
+                pa.int64()),
+            "min_tokens": pa.array(
+                np.array([ntok[inv == i].min() for i in range(k)],
+                         dtype=np.int64), pa.int64()),
+            "max_tokens": pa.array(
+                np.array([ntok[inv == i].max() for i in range(k)],
+                         dtype=np.int64), pa.int64()),
+            "sum_chars": pa.array(
+                np.bincount(inv, weights=nchars,
+                            minlength=k).astype(np.int64), pa.int64()),
+            "sum_alpha": pa.array(
+                np.bincount(inv, weights=alpha,
+                            minlength=k).astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(lang_col).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="total_tokens"),
+            Min("min_tokens", alias_name="min_tokens"),
+            Max("max_tokens", alias_name="max_tokens"),
+            Sum("sum_chars", alias_name="total_chars"),
+            Sum("sum_alpha", alias_name="total_alpha"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tt = t.column("total_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tc = t.column("total_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ta = t.column("total_alpha").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            lang_col: t.column(lang_col),
+            "n_docs": t.column("n_docs"),
+            "total_tokens": t.column("total_tokens"),
+            "avg_tokens": pa.array(
+                np.where(nd > 0, tt / np.maximum(nd, 1.0), 0.0),
+                pa.float64()),
+            "min_tokens": t.column("min_tokens"),
+            "max_tokens": t.column("max_tokens"),
+            "total_chars": t.column("total_chars"),
+            "alpha_char_ratio": pa.array(
+                np.where(tc > 0, ta / np.maximum(tc, 1.0), 0.0),
+                pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

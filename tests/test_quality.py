@@ -1,0 +1,112 @@
+"""quality_filter + corpus_stats_by_lang (training-data quality pass).
+
+quality_filter: inclusive bounds, exact-threshold ratio, lang whitelist,
+empty/null text, non-ASCII fallback parity. corpus_stats_by_lang:
+multi-block partial-merge parity vs a pandas recompute (integer-sum
+derived ratios are exact, so equality is exact).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from raydedup.stages.textstats import corpus_stats_by_lang, quality_filter
+
+
+def _docs(rows):
+    ids, texts, langs = zip(*rows)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string()),
+                     "lang": pa.array(langs, pa.string())})
+
+
+def test_quality_filter_boundaries_inclusive():
+    tbl = _docs([
+        (1, "a b", "en"),           # 2 tokens: at min -> kept
+        (2, "a b c", "en"),         # 3 tokens: at max -> kept
+        (3, "a b c d", "en"),       # 4 tokens: above max -> dropped
+        (4, "a", "en"),             # 1 token: below min -> dropped
+        (5, "ab 1", "en"),          # alpha_ratio 2/4 = 0.5 exactly -> kept
+        (6, "ab 12", "en"),         # 2/5 = 0.4 < 0.5 -> dropped
+        (7, "a b", "zz"),           # lang not whitelisted -> dropped
+        (8, "", "en"),              # 0 tokens -> dropped
+        (9, None, "en"),            # null text -> 0 tokens -> dropped
+        (10, "a b", None),          # null lang -> dropped
+    ])
+    out = quality_filter(rd.from_arrow(tbl), min_tokens=2, max_tokens=3,
+                         min_alpha_ratio=0.5, langs=("en",)).to_pandas()
+    assert sorted(out.doc_id) == [1, 2, 5]
+    assert set(out.columns) == {"doc_id", "lang", "n_tokens", "alpha_ratio"}
+    r5 = out.set_index("doc_id").loc[5]
+    assert r5.n_tokens == 2 and r5.alpha_ratio == 0.5
+
+
+def test_quality_filter_non_ascii_fallback_counts_match():
+    """A non-ASCII batch routes token counting through the regex fallback;
+    the \\S+ run count must equal the byte path's on the ASCII rows."""
+    tbl = _docs([
+        (1, "héllo wörld und mehr", "de"),   # 4 tokens, non-ASCII
+        (2, "plain ascii text here", "en"),  # 4 tokens
+    ])
+    out = quality_filter(rd.from_arrow(tbl), min_tokens=4, max_tokens=4,
+                         min_alpha_ratio=0.0, langs=("de", "en")).to_pandas()
+    assert sorted(out.doc_id) == [1, 2]
+    assert list(out.sort_values("doc_id").n_tokens) == [4, 4]
+
+
+def test_corpus_stats_by_lang_multiblock_partial_merge():
+    rng = np.random.default_rng(7)
+    langs = ["en", "de", "fr"]
+    rows = []
+    for i in range(300):
+        lang = langs[int(rng.integers(len(langs)))]
+        ntok = int(rng.integers(1, 12))
+        toks = ["ab1"[: int(rng.integers(1, 4))] * int(rng.integers(1, 3))
+                for _ in range(ntok)]
+        rows.append((i, " ".join(toks), lang))
+    tbl = _docs(rows)
+    out = corpus_stats_by_lang(rd.from_arrow(tbl).repartition(7)) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+
+    df = tbl.to_pandas()
+    df["n_tokens"] = df.text.str.split().map(len)
+    df["n_chars"] = df.text.str.len()
+    df["alpha"] = df.text.str.count("[A-Za-z]")
+    exp = df.groupby("lang").agg(
+        n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum"),
+        min_tokens=("n_tokens", "min"), max_tokens=("n_tokens", "max"),
+        total_chars=("n_chars", "sum"), alpha=("alpha", "sum"),
+    ).reset_index().sort_values("lang").reset_index(drop=True)
+
+    assert list(out.lang) == list(exp.lang)
+    for c in ["n_docs", "total_tokens", "min_tokens", "max_tokens",
+              "total_chars"]:
+        assert list(out[c]) == list(exp[c]), c
+    # integer-sum derived ratios are exact (no float accumulation order)
+    assert np.array_equal(out.avg_tokens.to_numpy(),
+                          (exp.total_tokens / exp.n_docs).to_numpy())
+    assert np.array_equal(out.alpha_char_ratio.to_numpy(),
+                          (exp.alpha / exp.total_chars).to_numpy())
+
+
+def test_corpus_stats_empty_lang_and_empty_text():
+    tbl = _docs([(1, "", "en"), (2, "  ", "en"), (3, "x", "de")])
+    out = corpus_stats_by_lang(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("lang")
+    assert out.loc["en"].n_docs == 2
+    assert out.loc["en"].total_tokens == 0
+    assert out.loc["en"].avg_tokens == 0.0
+    assert out.loc["en"].min_tokens == 0
+    assert out.loc["de"].total_chars == 1
+    assert out.loc["de"].alpha_char_ratio == 1.0
+
+
+def test_quality_filter_is_single_scan():
+    """The filter is one map_batches over the input — no shuffle stages in
+    the plan (embarrassingly parallel at scale)."""
+    tbl = _docs([(i, "a b c d", "en") for i in range(10)])
+    ds = quality_filter(rd.from_arrow(tbl))
+    plan = repr(ds)
+    for wide in ("Sort", "Aggregate", "RandomShuffle", "Repartition"):
+        assert wide not in plan, plan
