@@ -36,12 +36,21 @@ from raydedup.stages import verify as V
 
 def _exact_pairs_and_reps(sigs: ray.data.Dataset, cfg: EngineConfig):
     """ONE sha-sort serves both the exact-dup pair emission and the per-sha
-    representative selection (SURVEY §2.7). Returns (exact_pairs, rep_sigs).
+    representative selection (SURVEY §2.7). Returns
+    (exact_pairs, rep_cand_sigs, srt, n_reps).
 
-    rep_sigs semi-join: when the rep id set fits the driver
-    (cfg.broadcast_id_limit) it is broadcast once (ray.put via closure) and
-    applied as a vectorized np.isin filter — no shuffle of the signature
-    payloads; beyond the limit it falls back to a hash join."""
+    rep_cand_sigs is the LAZY banding-side projection (id, n_shingles,
+    minhash) of the representative rows — never materialized: for a
+    mostly-unique corpus it is ~a full copy of the signature table
+    (measured 13.5 GB of 14 GB at 1.6M rows, a 77 s object-store copy
+    whose bandwidth does not scale with CPUs), while its only consumer
+    (LSH banding) fuses the filter into its own scan. The shingle payload
+    is NOT carried: pair verification reads the full signature table
+    directly — candidate pairs reference representative ids only, so the
+    rep filter is a no-op there. When the rep id set fits the driver
+    (cfg.broadcast_id_limit) the filter is a broadcast sorted-array
+    membership test; beyond the limit it falls back to a hash join of the
+    projection (n_reps is then None)."""
     srt = sigs.select_columns(["content_sha256", "id"]) \
         .sort("content_sha256").materialize()
 
@@ -65,7 +74,9 @@ def _exact_pairs_and_reps(sigs: ray.data.Dataset, cfg: EngineConfig):
     rep_ids = C.run_minima(srt, "content_sha256")
     from raydedup.util import collect_up_to
     rep_tbl = collect_up_to(rep_ids, cfg.broadcast_id_limit)
+    band_cols = ["id", "n_shingles", "minhash"]
     if rep_tbl is not None:
+        n_reps = rep_tbl.num_rows
         id_set = np.sort(
             rep_tbl.column("id").to_numpy(zero_copy_only=False)) \
             if rep_tbl.num_rows else np.empty(0, np.int64)
@@ -79,12 +90,15 @@ def _exact_pairs_and_reps(sigs: ray.data.Dataset, cfg: EngineConfig):
                 mask = id_set[pos] == ids
             return t.filter(pa.array(mask))
 
-        rep_sigs = sigs.map_batches(keep_reps, batch_format="pyarrow")
+        rep_cand = sigs.select_columns(band_cols) \
+            .map_batches(keep_reps, batch_format="pyarrow")
     else:
-        rep_sigs = hash_join(sigs, rep_ids.rename_columns({"id": "rep_id"}),
+        n_reps = None
+        rep_cand = hash_join(sigs.select_columns(band_cols),
+                             rep_ids.rename_columns({"id": "rep_id"}),
                              on="id", right_on="rep_id",
                              num_partitions=cfg.join_num_partitions)
-    return exact_pairs, rep_sigs, srt
+    return exact_pairs, rep_cand, srt, n_reps
 
 
 def run_pipeline(code_files: ray.data.Dataset,
@@ -206,9 +220,8 @@ def run_pipeline(code_files: ray.data.Dataset,
 
     # exact-dup fast path (SURVEY §2.7) + one representative per distinct
     # content for the near-dup plane (consumed by candidates AND verify)
-    exact_pairs, rep_sigs_lazy, sha_sort = _exact_pairs_and_reps(sigs, cfg)
+    exact_pairs, rep_cand, sha_sort, n_reps = _exact_pairs_and_reps(sigs, cfg)
     _lap("exact+reps build")
-    rep_sigs = staged("rep_sigs", lambda: rep_sigs_lazy)
 
     # verified pairs are the hub of every downstream ranking/clustering stage
     # and are small (only pairs above threshold). Rep-level near-dup pairs are
@@ -243,12 +256,15 @@ def run_pipeline(code_files: ray.data.Dataset,
             return ds.map_batches(add, batch_format="pyarrow")
 
         cands = ckpt.stage("candidates",
-                           lambda: C.candidate_pairs(rep_sigs, cfg))
+                           lambda: C.candidate_pairs(rep_cand, cfg,
+                                                     n_rows=n_reps))
         rep_verified = ckpt.partitioned_stage(
             "verified_rep_pairs",
             lambda: cands.map_batches(_pair_key_col,
                                       batch_format="pyarrow"),
-            lambda ds: _with_pair_part(V.verify_pairs(ds, rep_sigs, cfg)),
+            # full sigs, not the rep projection: candidate pairs reference
+            # representative ids only, and verify filters to pair members
+            lambda ds: _with_pair_part(V.verify_pairs(ds, sigs, cfg)),
             num_parts=P, chunk_parts=cfg.ckpt_chunk_parts,
             key_col="ckpt_key")
         _lap("verified_rep_pairs")
@@ -257,8 +273,9 @@ def run_pipeline(code_files: ray.data.Dataset,
     else:
         verified = staged("verified_pairs", lambda: exact_pairs.union(
             expand_to_members(
-                V.verify_pairs(C.candidate_pairs(rep_sigs, cfg),
-                               rep_sigs, cfg),
+                V.verify_pairs(C.candidate_pairs(rep_cand, cfg,
+                                                 n_rows=n_reps),
+                               sigs, cfg),
                 sha_sort, cfg)))
 
     result = DedupResult(ingested=I.ingest(code_files), signatures=sigs,

@@ -373,11 +373,12 @@ _AUTO_SALT_THRESHOLD = 8192
 _AUTO_SALT_TARGET = 1024
 
 
-def auto_salt_buckets(sigs: ray.data.Dataset, cfg: EngineConfig) -> int:
+def auto_salt_buckets(sigs: ray.data.Dataset, cfg: EngineConfig,
+                      n_rows: int | None = None) -> int:
     """Estimate the hottest band-bucket size from a deterministic doc sample
     and pick the salt factor (1 = no salting needed). One cheap pass over a
     projected sample; no materialization of the full exploded rows."""
-    n = sigs.count()
+    n = n_rows if n_rows is not None else sigs.count()
     if n == 0:
         return 1
     frac = min(1.0, _AUTO_SALT_SAMPLE / n)
@@ -433,14 +434,17 @@ def auto_salt_buckets(sigs: ray.data.Dataset, cfg: EngineConfig) -> int:
     return s
 
 
-def candidate_pairs(sigs: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Dataset:
+def candidate_pairs(sigs: ray.data.Dataset, cfg: EngineConfig,
+                    n_rows: int | None = None) -> ray.data.Dataset:
     """Signatures -> deduplicated canonical candidate pair Dataset.
 
     salt_buckets: 0 = AUTO (sample-based hot-band detection, see
-    auto_salt_buckets), 1 = off, >1 = forced manual salting."""
+    auto_salt_buckets), 1 = off, >1 = forced manual salting.
+    n_rows: known row count of `sigs`, when the caller has it — avoids a
+    count() that would execute a lazy (e.g. rep-filtered) input twice."""
     S = cfg.lsh.salt_buckets
     if S == 0:
-        S = auto_salt_buckets(sigs, cfg)
+        S = auto_salt_buckets(sigs, cfg, n_rows=n_rows)
     rows = sigs.map_batches(_explode_bands(cfg, S), batch_format="pyarrow")
     cap = cfg.lsh.max_group_pairs
     npart = cfg.join_num_partitions

@@ -231,13 +231,20 @@ def incremental_pairs(new_sigs: ray.data.Dataset,
 
     # ---- near plane over representatives (one per distinct content)
     rep_ids = C.run_minima(srt, "content_sha256")
-    rep_sigs = _filter_rep_ids(all_sigs, rep_ids, cfg).materialize()
+    # banding needs only (id, n_shingles, minhash); the rep filter is fused
+    # into the band explode rather than materializing a near-full-width
+    # copy of the signature table (same fix as the flagship — the shingle
+    # payload dominates signature bytes, and verification reads it from
+    # the unfiltered table since candidate pairs reference rep ids only)
+    rep_band = _filter_rep_ids(
+        all_sigs.select_columns(["id", "n_shingles", "minhash"]),
+        rep_ids, cfg)
     # reps of groups containing a new doc (the "new side"; the rep itself
     # may be a base id when the group's min id is old)
     newside_rep_ids = C.run_minima(touched, "content_sha256") \
         .materialize()
 
-    rows_all = rep_sigs.map_batches(C._explode_bands(cfg, 1),
+    rows_all = rep_band.map_batches(C._explode_bands(cfg, 1),
                                     batch_format="pyarrow").materialize()
     newside_rows = _semi_join(rows_all, newside_rep_ids, "id", "id", cfg) \
         .materialize()
@@ -248,7 +255,7 @@ def incremental_pairs(new_sigs: ray.data.Dataset,
                            cfg.lsh.max_group_pairs,
                            cfg.join_num_partitions, mode="all").materialize()
     cand = C.dedupe_pairs(_pairs_touching(cand, newside_rep_ids, cfg))
-    rep_verified = V.verify_pairs(cand, rep_sigs, cfg).materialize()
+    rep_verified = V.verify_pairs(cand, all_sigs, cfg).materialize()
     near_pairs = _pairs_touching(
         expand_to_members(rep_verified, srt, cfg).materialize(),
         new_ids, cfg)

@@ -126,7 +126,10 @@ def test_checkpoint_resume(tmp_path, tiny_corpus):
     res1 = run_on_parquet(code_dir, ckpt_dir=ck)
     n1 = res1.verified_pairs.count()
     manifests = [f for f in os.listdir(ck) if f.endswith(".manifest.json")]
-    assert {"signatures.manifest.json", "rep_sigs.manifest.json",
+    # rep_sigs is intentionally NOT checkpointed: it is a lazy projection
+    # fused into the banding scan (materializing it was a near-full copy of
+    # the signature table at corpus scale)
+    assert {"signatures.manifest.json",
             "verified_pairs.manifest.json"} <= set(manifests)
     meta = json.load(open(os.path.join(ck, "signatures.manifest.json")))
     assert meta["rows"] == 120 and meta["rows_per_s"] > 0
