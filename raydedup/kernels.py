@@ -196,18 +196,138 @@ def _hash_token_runs(data: np.ndarray, tpos: np.ndarray,
                           buffer=padded, strides=(1,))
         mask = _PACK_MASKS[np.minimum(lens, 8)]
         val = u64v[tpos] & mask
-        # long tokens (rare): continue per the spec on the active subset
-        maxlen = int(lens.max())
-        j = 8
-        while j < maxlen:
-            m = lens > j
-            if not m.any():
-                break
-            act = np.nonzero(m)[0]
-            val[act] = splitmix64(val[act]) * _POLY \
-                + data[tpos[act] + j].astype(np.uint64)
-            j += 1
+        # long tokens (rare): continue per the spec. Sorting them by length
+        # makes the active set at byte j a SUFFIX, so per-iteration work is
+        # O(active + log L) and the total is O(sum of long-token bytes) —
+        # the previous per-j full-array mask scan was O(maxlen × T), i.e.
+        # one base64-ish blob token made the whole batch quadratic.
+        long_idx = np.nonzero(lens > 8)[0]
+        if len(long_idx):
+            li = long_idx[np.argsort(lens[long_idx], kind="stable")]
+            ll = lens[li]
+            v = val[li]
+            tp = tpos[li]
+            L = len(li)
+            j = 8
+            while True:
+                start = int(np.searchsorted(ll, j, side="right"))
+                if start >= L:
+                    break
+                if L - start <= 4:
+                    # tiny tail (a few tokens vastly longer than the rest):
+                    # scalar chains beat per-byte numpy-call overhead
+                    mm = (1 << 64) - 1
+                    for k in range(start, L):
+                        x_val = int(v[k])
+                        lo = int(tp[k]) + j
+                        for b in data[lo:int(tp[k]) + int(ll[k])].tolist():
+                            x = (x_val + 0x9E3779B97F4A7C15) & mm
+                            x ^= x >> 30
+                            x = (x * 0xBF58476D1CE4E5B9) & mm
+                            x ^= x >> 27
+                            x = (x * 0x94D049BB133111EB) & mm
+                            x ^= x >> 31
+                            x_val = (x * 0x100000001B3 + b) & mm
+                        v[k] = x_val
+                    break
+                v[start:] = splitmix64(v[start:]) * _POLY \
+                    + data[tp[start:] + j].astype(np.uint64)
+                j += 1
+            val[li] = v
     return splitmix64(val)
+
+
+def _token_runs(cls: np.ndarray, offs: np.ndarray, words_only: bool):
+    """Token (start, length) runs over a class array (0 = ws, 1 = word,
+    2 = punct) with document boundaries `offs` — word runs are maximal,
+    punct units are single-unit tokens, replicating TOKEN_RE
+    (`\\w+|[^\\w\\s]`). Unit-agnostic: bytes for the ASCII path, codepoints
+    for the unicode path.
+
+    Word-run starts: a word unit whose predecessor (within the same doc) is
+    not word; doc starts count as boundaries. Run ENDS are computable
+    elementwise the same way — a word unit whose successor (same doc) is
+    not word — and the k-th end pairs with the k-th start (both
+    position-sorted, same count). This replaces a full-length int64 reverse
+    minimum.accumulate (two array reversals, ~48 bytes of memory traffic
+    per input unit — the tokenizer's hot spot under multi-worker bandwidth
+    contention) with unit-wide elementwise ops."""
+    prev = np.empty_like(cls)
+    prev[0] = 0
+    prev[1:] = cls[:-1]
+    starts_docs = offs[:-1]
+    starts_docs = starts_docs[starts_docs < len(cls)]
+    prev[starts_docs] = 0
+    tok_start = (cls == 1) & (prev != 1)
+    if not words_only:
+        tok_start |= cls == 2
+    tpos = np.nonzero(tok_start)[0]
+    if len(tpos) == 0:
+        return tpos, np.empty(0, dtype=np.int64)
+    nxt = np.empty_like(cls)
+    nxt[:-1] = cls[1:]
+    nxt[-1] = 0
+    ends_docs = offs[1:] - 1            # force run breaks at doc ends; the
+    nxt[ends_docs] = 0                  # -1 of an empty leading doc aliases
+    #                                     the last unit, whose nxt is 0 anyway
+    word_ends = np.nonzero((cls == 1) & (nxt != 1))[0] + 1
+    is_punct = cls[tpos] == 2
+    ends = np.empty(len(tpos), dtype=np.int64)
+    ends[is_punct] = tpos[is_punct] + 1
+    ends[~is_punct] = word_ends
+    return tpos, ends - tpos
+
+
+# lazily grown codepoint -> class cache for the unicode path; classification
+# delegates to the re module's own \w / \s so values are regex-parity by
+# construction (unicode corpora touch a few hundred distinct codepoints)
+_UCLS_CACHE: dict = {}
+_RX_WORD = re.compile(r"\w", re.UNICODE)
+_RX_SPACE = re.compile(r"\s", re.UNICODE)
+
+
+def _tokenize_hash_unicode(texts, lowercase: bool, words_only: bool = False):
+    """Vectorized unicode tokenizer for non-ASCII docs: codepoint class
+    lookup (lazily built from re's own \\w / \\s, so exact regex parity)
+    replaces the per-doc re.findall + per-token encode of
+    `_tokenize_hash_regex` (~5x on mixed corpora). Hashing follows the
+    shared spec over each token's UTF-8 bytes — values identical to the
+    regex fallback by construction (pytest
+    test_unicode_vectorized_matches_regex)."""
+    n = len(texts)
+    norm = [normalize_content(t, lowercase) for t in texts]
+    cp_lens = np.fromiter((len(s) for s in norm), dtype=np.int64, count=n)
+    cp_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cp_lens, out=cp_offs[1:])
+    joined = "".join(norm)
+    if not joined:
+        return np.empty(0, dtype=U64), cp_offs
+    cp = np.frombuffer(joined.encode("utf-32-le", "surrogatepass"),
+                       dtype="<u4")
+    uniq, inv = np.unique(cp, return_inverse=True)
+    cls_u = np.empty(len(uniq), dtype=np.uint8)
+    for i, c in enumerate(uniq.tolist()):
+        v = _UCLS_CACHE.get(c)
+        if v is None:
+            ch = chr(c)
+            v = 1 if _RX_WORD.match(ch) else \
+                (0 if _RX_SPACE.match(ch) else 2)
+            _UCLS_CACHE[c] = v
+        cls_u[i] = v
+    tpos, lens = _token_runs(cls_u[inv], cp_offs, words_only)
+    offsets = np.searchsorted(tpos, cp_offs, side="left")
+    if len(tpos) == 0:
+        return np.empty(0, dtype=U64), offsets
+    # codepoint -> UTF-8 byte offsets: 1/2/3/4 bytes by value (lone
+    # surrogates encode as 3 bytes under surrogatepass — the < 0x10000
+    # bucket covers them)
+    u8len = 1 + (cp >= 0x80) + (cp >= 0x800) + (cp >= 0x10000)
+    b_off = np.zeros(len(cp) + 1, dtype=np.int64)
+    np.cumsum(u8len, out=b_off[1:])
+    data = np.frombuffer(joined.encode("utf-8", "surrogatepass"),
+                         dtype=np.uint8)
+    tb = b_off[tpos]
+    return _hash_token_runs(data, tb, b_off[tpos + lens] - tb), offsets
 
 
 def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
@@ -224,40 +344,9 @@ def _tokenize_hash_ascii(byte_offs: np.ndarray, data: np.ndarray,
     #                      empty ASCII subset): no bytes, no tokens
     if lowercase:
         data = _LOWER[data]
-    cls = _CLS[data]
-    # word-run starts: word byte whose previous byte (within the same doc)
-    # is not word; doc starts count as boundaries
-    prev = np.empty_like(cls)
-    prev[0] = 0
-    prev[1:] = cls[:-1]
-    starts_docs = byte_offs[:-1]
-    starts_docs = starts_docs[starts_docs < len(cls)]
-    prev[starts_docs] = 0
-    tok_start = (cls == 1) & (prev != 1)
-    if not words_only:
-        tok_start |= cls == 2
-    tpos = np.nonzero(tok_start)[0]
+    tpos, lens = _token_runs(_CLS[data], byte_offs, words_only)
     if len(tpos) == 0:
         return np.empty(0, dtype=U64), np.zeros(n + 1, dtype=np.int64)
-    # token end: word-run ENDS are computable elementwise exactly like the
-    # starts — a word byte whose successor (within the same doc) is not a
-    # word byte — and the k-th word end pairs with the k-th word start
-    # (both position-sorted, same count). This replaces a full-length int64
-    # reverse minimum.accumulate (two array reversals, ~48 bytes of memory
-    # traffic per input byte — the tokenizer's hot spot under multi-worker
-    # bandwidth contention) with byte-wide elementwise ops.
-    nxt = np.empty_like(cls)
-    nxt[:-1] = cls[1:]
-    nxt[-1] = 0
-    ends_docs = byte_offs[1:] - 1       # force run breaks at doc ends; the
-    nxt[ends_docs] = 0                  # -1 of an empty leading doc aliases
-    #                                     the last byte, whose nxt is 0 anyway
-    word_ends = np.nonzero((cls == 1) & (nxt != 1))[0] + 1
-    is_punct = cls[tpos] == 2
-    ends = np.empty(len(tpos), dtype=np.int64)
-    ends[is_punct] = tpos[is_punct] + 1
-    ends[~is_punct] = word_ends
-    lens = ends - tpos
 
     flat = _hash_token_runs(data, tpos, lens)
 
@@ -289,8 +378,8 @@ def _tokenize_hash_mixed(data: np.ndarray, offs: np.ndarray,
     punctuation would otherwise send the whole batch to the regex fallback
     — measured as ~60% of flagship wall on the bench corpus, where 4.8% of
     docs carry em-dashes). ASCII docs keep the vectorized byte path; only
-    the non-ASCII docs pay the regex path; outputs merge back in doc
-    order."""
+    the non-ASCII docs pay the (vectorized) unicode path; outputs merge
+    back in doc order."""
     n = len(offs) - 1
     doc_lens = offs[1:] - offs[:-1]
     ascii_mask = ~nonascii_doc_mask
@@ -303,7 +392,7 @@ def _tokenize_hash_mixed(data: np.ndarray, offs: np.ndarray,
     na_idx = np.nonzero(nonascii_doc_mask)[0]
     texts = [bytes(data[offs[d]:offs[d + 1]]).decode("utf-8", "surrogatepass")
              for d in na_idx]
-    na_flat, na_toffs = _tokenize_hash_regex(texts, lowercase, words_only)
+    na_flat, na_toffs = _tokenize_hash_unicode(texts, lowercase, words_only)
     counts = np.empty(n, dtype=np.int64)
     counts[ascii_mask] = a_toffs[1:] - a_toffs[:-1]
     counts[na_idx] = na_toffs[1:] - na_toffs[:-1]

@@ -142,6 +142,46 @@ def test_mixed_batch_regex_hashes_match_scalar_spec():
         assert int(rf[i]) == K._token_hash_cached(t), t
 
 
+def test_unicode_vectorized_matches_regex():
+    """The codepoint-class unicode tokenizer must be value- and
+    offset-identical to the regex reference on adversarial inputs: every
+    UTF-8 width class (1/2/3/4 bytes), lone surrogates, CR/LF
+    normalization, empty docs, and tokens crossing the 8-byte pack
+    boundary."""
+    rng = np.random.default_rng(23)
+    pool = ["héllo wörld — ¿qué? 北京 「引用」", "  nbsp",
+            "emoji 🎉🚀 text", "ΣΔΠ σδπ", "русский текст",
+            "a" * 9 + "—" + "b" * 17, "𝔘𝔫𝔦𝔠𝔬𝔡𝔢", "", " ", "—",
+            "mixed_ascii and ünïcode; §¶", chr(0xD83D) + " lone surrogate",
+            "ﬁﬂ ligatures ß", "crlf\r\nand\rcr"]
+    texts = ["".join(pool[i] for i in rng.integers(0, len(pool), 5))
+             for _ in range(60)]
+    texts += ["".join(chr(int(c)) for c in rng.integers(1, 0x2FFFF, 40))
+              for _ in range(20)]
+    for lc in (False, True):
+        for wo in (False, True):
+            rf, ro = K._tokenize_hash_regex(texts, lc, wo)
+            vf, vo = K._tokenize_hash_unicode(texts, lc, wo)
+            assert np.array_equal(ro, vo), (lc, wo)
+            assert np.array_equal(rf, vf), (lc, wo)
+
+
+def test_long_token_suffix_path_matches_scalar():
+    """Very long tokens take the sorted-suffix + scalar-tail path in
+    _hash_token_runs; values must equal the scalar reference (regression
+    for the O(maxlen x T) rewrite)."""
+    rng = np.random.default_rng(5)
+    toks = [rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            for n in [1, 8, 9, 16, 40, 40, 41, 5000, 20000]]
+    data = np.frombuffer(b"".join(toks), dtype=np.uint8)
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    tpos = np.zeros(len(toks), dtype=np.int64)
+    np.cumsum(lens[:-1], out=tpos[1:])
+    got = K._hash_token_runs(data, tpos, lens)
+    exp = np.array([K._token_hash_bytes(t) for t in toks], dtype=np.uint64)
+    assert np.array_equal(got, exp)
+
+
 def test_shingles_contiguous_roll_with_short_docs():
     """Short docs in a batch no longer force the masked-gather path: outputs
     must equal the per-doc naive poly hash for every doc shape."""
