@@ -225,7 +225,7 @@ def incremental_pairs(new_sigs: ray.data.Dataset,
     exact_all = C.grouped_pairs(None, "content_sha256",
                                 cfg.lsh.max_group_pairs,
                                 cfg.join_num_partitions, mode="all",
-                                srt=touched).materialize()
+                                srt=touched)
     exact_pairs = _pairs_touching(exact_all, new_ids, cfg) \
         .map_batches(_exact_score, batch_format="pyarrow")
 
@@ -244,21 +244,23 @@ def incremental_pairs(new_sigs: ray.data.Dataset,
     newside_rep_ids = C.run_minima(touched, "content_sha256") \
         .materialize()
 
+    # rows_all IS materialized (two consumers: the new-side probe and the
+    # bucket prune); the single-consumer stages below stay lazy so the
+    # streaming executor pipelines them instead of paying a full-execute
+    # barrier each (~0.5 s of orchestration per materialize at toy scale)
     rows_all = rep_band.map_batches(C._explode_bands(cfg, 1),
                                     batch_format="pyarrow").materialize()
-    newside_rows = _semi_join(rows_all, newside_rep_ids, "id", "id", cfg) \
-        .materialize()
+    newside_rows = _semi_join(rows_all, newside_rep_ids, "id", "id", cfg)
     # bucket prune: only buckets a new-side rep touches can yield new pairs
     rows = _semi_join(rows_all, _distinct_keys(newside_rows, "gkey"),
                       "gkey", "gkey", cfg)
     cand = C.grouped_pairs(rows.select_columns(["gkey", "id"]), "gkey",
                            cfg.lsh.max_group_pairs,
-                           cfg.join_num_partitions, mode="all").materialize()
+                           cfg.join_num_partitions, mode="all")
     cand = C.dedupe_pairs(_pairs_touching(cand, newside_rep_ids, cfg))
-    rep_verified = V.verify_pairs(cand, all_sigs, cfg).materialize()
+    rep_verified = V.verify_pairs(cand, all_sigs, cfg)
     near_pairs = _pairs_touching(
-        expand_to_members(rep_verified, srt, cfg).materialize(),
-        new_ids, cfg)
+        expand_to_members(rep_verified, srt, cfg), new_ids, cfg)
 
     return exact_pairs.union(near_pairs)
 
