@@ -86,9 +86,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     invariants = {"n_pairs": [], "n_clusters": []}
 
     def q_flagship():
-        res = run_pipeline(rd.read_parquet(
-            code_dir, columns=["repo", "path", "commit", "lang", "content"]),
-            cfg, issues_to_detect=[IssueType.NEAR_DUPLICATES])
+        # run_on_parquet sizes the read blocks at the source and skips the
+        # content repartition barrier (read fuses into ingest+signatures)
+        res = run_on_parquet(code_dir, cfg,
+                             issues_to_detect=[IssueType.NEAR_DUPLICATES])
         invariants["n_pairs"].append(res.verified_pairs.count())
         invariants["n_clusters"].append(res.clusters.count())
 

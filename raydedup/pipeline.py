@@ -101,15 +101,31 @@ def _exact_pairs_and_reps(sigs: ray.data.Dataset, cfg: EngineConfig):
     return exact_pairs, rep_cand, srt, n_reps
 
 
+def _target_blocks(n_rows: Optional[int], cpus: int) -> int:
+    """Block count sized by rows, capped at 4/CPU: hundreds of near-empty
+    blocks just multiply per-task overhead on small inputs (the round-1
+    32-CPU regression), while ~2.5k rows/block keeps tasks meaningful."""
+    if n_rows is None:
+        return 4 * cpus
+    return max(2, min(4 * cpus, n_rows // 2500 + 1))
+
+
 def run_pipeline(code_files: ray.data.Dataset,
                  cfg: Optional[EngineConfig] = None,
                  issues_to_detect: Sequence[IssueType] = DEFAULT_ISSUES,
                  ckpt_dir: Optional[str] = None,
                  input_token: str = "",
+                 pre_blocked: bool = False,
                  ) -> DedupResult:
     """Flagship run. With ckpt_dir set, every wide-stage output is written to
     per-stage Parquet with a lineage manifest; a rerun with the same config +
-    input token resumes from the last completed stage (mid-shuffle resume)."""
+    input token resumes from the last completed stage (mid-shuffle resume).
+
+    pre_blocked=True promises the input's blocks are already right-sized
+    (e.g. read with override_num_blocks — see run_on_parquet), letting the
+    pipeline skip its content repartition barrier so the read fuses straight
+    into ingest+signatures and the raw content never enters the object
+    store."""
     cfg = cfg or EngineConfig()
     issues = {IssueType.canonical(i) for i in issues_to_detect}
 
@@ -172,15 +188,16 @@ def run_pipeline(code_files: ray.data.Dataset,
         _cpus = int(_ray.cluster_resources().get("CPU", 4))
     except Exception:
         _cpus = 4
-    # block count sized by rows, capped at 4/CPU: hundreds of near-empty
-    # blocks just multiply per-task overhead on small inputs (the round-1
-    # 32-CPU regression), while ~2.5k rows/block keeps tasks meaningful.
     try:
         _n_rows = code_files.count()    # parquet: metadata-only
     except Exception:
         _n_rows = None
-    _blocks = 4 * _cpus if _n_rows is None else \
-        max(2, min(4 * _cpus, _n_rows // 2500 + 1))
+    _blocks = _target_blocks(_n_rows, _cpus)
+    # pre_blocked inputs were block-sized at the read: skip the all-to-all
+    # content exchange (it re-wrote every content byte to the object store,
+    # and /dev/shm's concurrent page-fault path is this host's measured
+    # scaling ceiling — evidence/scaling_r3/flag_t{4,16}.log)
+    _sized = code_files if pre_blocked else code_files.repartition(_blocks)
     if ckpt is not None:
         # partition-granular checkpoint: signatures land in
         # ckpt_part=<id % P> dirs with per-part commit markers, so a resumed
@@ -203,7 +220,7 @@ def run_pipeline(code_files: ray.data.Dataset,
         # overhead regression the non-ckpt comment below documents)
         sigs = ckpt.partitioned_stage(
             "signatures",
-            lambda: I.ingest(code_files.repartition(_blocks)),
+            lambda: I.ingest(_sized),
             lambda ds: _with_part(S.compute_signatures(ds, cfg)),
             num_parts=P, chunk_parts=cfg.ckpt_chunk_parts)
         _lap("signatures")
@@ -215,8 +232,7 @@ def run_pipeline(code_files: ray.data.Dataset,
         # 16 CPUs signatures 11.6 s vs 14.2 s, 4 CPUs total 46.7 s vs
         # 70.6 s).
         sigs = staged("signatures",
-                      lambda: S.compute_signatures(
-                          I.ingest(code_files.repartition(_blocks)), cfg))
+                      lambda: S.compute_signatures(I.ingest(_sized), cfg))
 
     # exact-dup fast path (SURVEY §2.7) + one representative per distinct
     # content for the near-dup plane (consumed by candidates AND verify)
@@ -339,6 +355,19 @@ def run_pipeline(code_files: ray.data.Dataset,
 def run_on_parquet(path: str, cfg: Optional[EngineConfig] = None,
                    issues_to_detect: Sequence[IssueType] = DEFAULT_ISSUES,
                    ckpt_dir: Optional[str] = None) -> DedupResult:
-    """Flagship entry (analog of run_on_image_folder, selfclean.py:127-173)."""
-    return run_pipeline(I.read_code_files(path), cfg, issues_to_detect,
-                        ckpt_dir=ckpt_dir, input_token=path)
+    """Flagship entry (analog of run_on_image_folder, selfclean.py:127-173).
+
+    Sizes the read's blocks at the source so run_pipeline can skip its
+    content repartition barrier (pre_blocked) — the read then fuses with
+    ingest+signatures and raw content never enters the object store."""
+    src = I.read_code_files(path)
+    try:
+        n_rows = src.count()            # parquet: metadata-only
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 4))
+        src = I.read_code_files(path, num_blocks=_target_blocks(n_rows, cpus))
+        pre = True
+    except Exception:
+        pre = False
+    return run_pipeline(src, cfg, issues_to_detect,
+                        ckpt_dir=ckpt_dir, input_token=path, pre_blocked=pre)

@@ -18,8 +18,19 @@ from raydedup import kernels as K
 INPUT_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
-def read_code_files(path: str) -> ray.data.Dataset:
-    """Column-pruned parquet read of the input_hint table."""
+def read_code_files(path: str,
+                    num_blocks: int | None = None) -> ray.data.Dataset:
+    """Column-pruned parquet read of the input_hint table.
+
+    num_blocks sizes the read tasks at the SOURCE (override_num_blocks) so
+    the pipeline can skip its content repartition barrier entirely: the read
+    then fuses with ingest+signatures into one streaming task chain and the
+    raw content column never lands in the object store (measured: the
+    repartition exchange alone moved 2x the content bytes through /dev/shm,
+    whose concurrent page-fault path is the host's scaling bottleneck)."""
+    if num_blocks is not None:
+        return ray.data.read_parquet(path, columns=INPUT_COLUMNS,
+                                     override_num_blocks=num_blocks)
     return ray.data.read_parquet(path, columns=INPUT_COLUMNS)
 
 
