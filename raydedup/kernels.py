@@ -562,20 +562,34 @@ def segmented_intersection_sizes(flat: np.ndarray, offs: np.ndarray,
                                  ia: np.ndarray, ib: np.ndarray
                                  ) -> np.ndarray:
     """For pairs of UNIQUE-value segments (rows ia[i], ib[i] of the ragged
-    array flat/offs), the intersection size of each pair. Since each side
-    is duplicate-free, a value appearing twice within one pair's combined
-    run means it is present in both sets — so sort each pair's combined
-    run and count adjacent equals. The per-pair np.sort runs in cache and
-    replaces a batch-wide (pair, value) lexsort over the gathered runs,
-    measured 14x faster on a 1024-pair verify batch (251 ms -> 17 ms);
-    the loop is per PAIR (pure-numpy gather/sort), not per value."""
+    array flat/offs), the intersection size of each pair. Single-address-
+    space convenience wrapper over segmented_intersection_sizes2."""
+    return segmented_intersection_sizes2(flat, offs, ia, flat, offs, ib)
+
+
+def segmented_intersection_sizes2(flat_a: np.ndarray, offs_a: np.ndarray,
+                                  ia: np.ndarray,
+                                  flat_b: np.ndarray, offs_b: np.ndarray,
+                                  ib: np.ndarray) -> np.ndarray:
+    """Two-address-space variant: side A's segments live in flat_a/offs_a,
+    side B's in flat_b/offs_b (they may be the same arrays). Lets the
+    sharded broadcast-verify path intersect rows of two independent shard
+    payloads without concatenating them into one array first.
+
+    Since each side is duplicate-free, a value appearing twice within one
+    pair's combined run means it is present in both sets — so sort each
+    pair's combined run and count adjacent equals. The per-pair np.sort
+    runs in cache and replaces a batch-wide (pair, value) lexsort over the
+    gathered runs, measured 14x faster on a 1024-pair verify batch
+    (251 ms -> 17 ms); the loop is per PAIR (pure-numpy gather/sort), not
+    per value."""
     m = len(ia)
     if m == 0:
         return np.empty(0, dtype=np.int64)
     out = np.zeros(m, dtype=np.int64)
     for i in range(m):
-        a = flat[offs[ia[i]]:offs[ia[i] + 1]]
-        b = flat[offs[ib[i]]:offs[ib[i] + 1]]
+        a = flat_a[offs_a[ia[i]]:offs_a[ia[i] + 1]]
+        b = flat_b[offs_b[ib[i]]:offs_b[ib[i] + 1]]
         if len(a) == 0 or len(b) == 0:
             continue
         c = np.sort(np.concatenate([a, b]))

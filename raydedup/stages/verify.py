@@ -24,6 +24,9 @@ import ray.data
 from raydedup.config import EngineConfig
 from raydedup.util import hash_join, unpack_u64_2d
 
+# target payload bytes per broadcast-assembly shard (see _broadcast_verify)
+_SHARD_TARGET_BYTES = 256 << 20
+
 
 def _score_batch(cfg: EngineConfig, force_exact: bool = False):
     P = cfg.minhash.num_perm
@@ -36,28 +39,30 @@ def _score_batch(cfg: EngineConfig, force_exact: bool = False):
         sig_b = unpack_u64_2d(batch.column("minhash_b"), P)
         est = (sig_a == sig_b).mean(axis=1)
 
-        def get_sets():
+        def get_exact(sel: np.ndarray):
+            from raydedup import kernels as K
             from raydedup.util import unpack_u64_flat
             flat_a, offs_a = unpack_u64_flat(batch.column("shingles_a"))
             flat_b, offs_b = unpack_u64_flat(batch.column("shingles_b"))
-            # one ragged array: rows 0..n-1 = A sets, n..2n-1 = B sets
-            flat = np.concatenate([flat_a, flat_b])
-            offs = np.concatenate([offs_a, offs_a[-1] + offs_b[1:]])
-            rows = np.arange(n, dtype=np.int64)
-            return flat, offs, rows, n + rows
+            inter = K.segmented_intersection_sizes2(
+                flat_a, offs_a, sel, flat_b, offs_b, sel)
+            la = (offs_a[sel + 1] - offs_a[sel]).astype(np.int64)
+            lb = (offs_b[sel + 1] - offs_b[sel]).astype(np.int64)
+            return inter, la, lb
 
         return _finish_scores(batch.column("id_a"), batch.column("id_b"),
-                              est, get_sets, cfg, force_exact)
+                              est, get_exact, cfg, force_exact)
 
     return fn
 
 
-def _finish_scores(ids_a_col, ids_b_col, est: np.ndarray, get_sets,
+def _finish_scores(ids_a_col, ids_b_col, est: np.ndarray, get_exact,
                    cfg, force_exact: bool) -> pa.Table:
-    """Shared tail of both verification paths (broadcast lookup and hash
-    join): exact-gate, substring/near-dup classification, output table,
-    threshold filter. get_sets() lazily yields (flat, offs, rows_a, rows_b)
-    — the ragged shingle arrays and each pair's row indices into them.
+    """Shared tail of all verification paths (broadcast lookup, sharded
+    broadcast, hash join): exact-gate, substring/near-dup classification,
+    output table, threshold filter. get_exact(sel) lazily yields
+    (intersection_sizes, len_a, len_b) int64 arrays for the selected pair
+    positions — each path gathers from its own shingle storage layout.
 
     Exact set math runs where est J is near/above threshold OR where a
     high-containment substring match is still possible: a contained set of
@@ -74,11 +79,9 @@ def _finish_scores(ids_a_col, ids_b_col, est: np.ndarray, get_sets,
         need = np.ones(len(est), dtype=bool) if force_exact \
             else est >= min(thr - band, 0.2)
         if need.any():
-            from raydedup import kernels as K
-            flat, offs, rows_a, rows_b = get_sets()
             sel = np.nonzero(need)[0]
-            _apply_exact(jac, cont, sel, flat, offs,
-                         rows_a[sel], rows_b[sel], K)
+            inter, la, lb = get_exact(sel)
+            _apply_exact_vals(jac, cont, sel, inter, la, lb)
     dist = np.clip(1.0 - jac, 0.0, 1.0)
     is_dup = jac >= thr
     is_sub = (~is_dup) & (cthr > 0) & (cont >= cthr)
@@ -95,15 +98,14 @@ def _finish_scores(ids_a_col, ids_b_col, est: np.ndarray, get_sets,
     return out.filter(pa.array(is_dup | is_sub))
 
 
-def _apply_exact(jac: np.ndarray, cont: np.ndarray, sel: np.ndarray,
-                 flat: np.ndarray, offs: np.ndarray,
-                 rows_a: np.ndarray, rows_b: np.ndarray, K) -> None:
+def _apply_exact_vals(jac: np.ndarray, cont: np.ndarray, sel: np.ndarray,
+                      inter: np.ndarray, la: np.ndarray, lb: np.ndarray
+                      ) -> None:
     """Overwrite jac/cont at positions `sel` with exact shingle-set Jaccard /
-    containment, computed batch-wide (one lexsort, no per-pair Python)."""
-    inter = K.segmented_intersection_sizes(flat, offs, rows_a, rows_b) \
-        .astype(np.float64)
-    la = (offs[rows_a + 1] - offs[rows_a]).astype(np.int64)
-    lb = (offs[rows_b + 1] - offs[rows_b]).astype(np.int64)
+    containment from precomputed intersection sizes and set sizes."""
+    inter = inter.astype(np.float64)
+    la = la.astype(np.int64)
+    lb = lb.astype(np.int64)
     union = (la + lb).astype(np.float64) - inter
     both_empty = (la + lb) == 0
     jac[sel] = np.where(both_empty, 1.0,
@@ -143,17 +145,44 @@ def _collect_ids(ds: ray.data.Dataset, col: str) -> np.ndarray:
     return np.concatenate(arrs) if arrs else np.empty(0, np.int64)
 
 
-def _assemble_broadcast(num_perm: int, *blocks):
-    """Remote body: filtered signature blocks -> the broadcast lookup tuple
+def _assemble_broadcast(num_perm: int, lo, hi, *blocks):
+    """Remote body: filtered signature blocks -> one broadcast lookup tuple
     (sorted_ids, perm, minhash 2D, shingle flat, shingle offsets). Runs as a
     Ray task so the payload never transits the driver: block reads from
     same-node plasma are zero-copy and the returned tuple lands directly in
     the object store as the broadcast object (the old path streamed the
     whole subset through driver iter_batches and re-uploaded it with
     ray.put — a serial ~2x-payload round trip that profiled as a
-    near-fixed 12-15 s cost at 400k rows regardless of CPU count)."""
+    near-fixed 12-15 s cost at 400k rows regardless of CPU count).
+
+    lo/hi (either may be None) restrict the shard to lo <= id < hi: the
+    caller launches one such task per id-range shard so the payload copy —
+    fault-bound on /dev/shm at a few hundred MB/s per stream — runs in
+    parallel instead of as one serial ~23 s task (measured at 1.6M rows)."""
     from raydedup.util import unpack_u64_2d, unpack_u64_flat
-    blocks = [b for b in blocks if b.num_rows]
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty((0, num_perm), np.uint64), np.empty(0, np.uint64),
+             np.zeros(1, np.int64))
+    if lo is not None or hi is not None:
+        # range-filter each block BEFORE the concat so a shard task copies
+        # only its own ~1/P slice, not the full payload
+        kept = []
+        for b in blocks:
+            if not b.num_rows:
+                continue
+            ids = b.column("id").to_numpy(zero_copy_only=False)
+            m = np.ones(len(ids), dtype=bool)
+            if lo is not None:
+                m &= ids >= lo
+            if hi is not None:
+                m &= ids < hi
+            if m.any():
+                kept.append(b.filter(pa.array(m)))
+        blocks = kept
+    else:
+        blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
+        return empty
     sub = blocks[0] if len(blocks) == 1 else \
         pa.concat_tables(blocks, promote_options="default")
     ids_orig = sub.column("id").to_numpy(zero_copy_only=False)
@@ -189,19 +218,69 @@ def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         .map_batches(keep, batch_format="pyarrow").materialize()
     if sub.count() == 0:
         return empty_verified()
-    ref = ray.remote(num_cpus=1)(_assemble_broadcast) \
-        .remote(cfg.minhash.num_perm, *sub.to_arrow_refs())
+    # shard the assembly by id range (~256 MB payload per shard): the copy
+    # into the broadcast object is fault-bound on /dev/shm at a few hundred
+    # MB/s per stream, so P parallel shard tasks replace one serial task
+    n_shards = int(np.clip(sub.size_bytes() // _SHARD_TARGET_BYTES, 1, 16))
+    bounds = cand_ids[(np.arange(1, n_shards) * len(cand_ids)) // n_shards] \
+        if n_shards > 1 else np.empty(0, dtype=cand_ids.dtype)
+    los = [None] + list(bounds)
+    his = list(bounds) + [None]
+    asm = ray.remote(num_cpus=1)(_assemble_broadcast)
+    refs = [asm.remote(cfg.minhash.num_perm, lo, hi, *sub.to_arrow_refs())
+            for lo, hi in zip(los, his)]
+    P = len(refs)
 
     def score(t: pa.Table) -> pa.Table:
-        bids, bperm, bmh, bflat, boffs = ray.get(ref)
-        ia = bperm[np.searchsorted(
-            bids, t.column("id_a").to_numpy(zero_copy_only=False))]
-        ib = bperm[np.searchsorted(
-            bids, t.column("id_b").to_numpy(zero_copy_only=False))]
-        est = (bmh[ia] == bmh[ib]).mean(axis=1)
+        shards = ray.get(refs)  # zero-copy views into the shard objects
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        n = len(a)
+        if P > 1:
+            sa = np.searchsorted(bounds, a, side="right")
+            sb = np.searchsorted(bounds, b, side="right")
+        else:
+            sa = np.zeros(n, dtype=np.int64)
+            sb = np.zeros(n, dtype=np.int64)
+        ra = np.empty(n, dtype=np.int64)
+        rb = np.empty(n, dtype=np.int64)
+        for s in range(P):
+            ids_s, perm_s = shards[s][0], shards[s][1]
+            m = sa == s
+            if m.any():
+                ra[m] = perm_s[np.searchsorted(ids_s, a[m])]
+            m = sb == s
+            if m.any():
+                rb[m] = perm_s[np.searchsorted(ids_s, b[m])]
+        est = np.empty(n, dtype=np.float64)
+        combo = sa * P + sb
+        for c in np.unique(combo):
+            i, j = divmod(int(c), P)
+            m = combo == c
+            est[m] = (shards[i][2][ra[m]] == shards[j][2][rb[m]]) \
+                .mean(axis=1)
+
+        def get_exact(sel: np.ndarray):
+            from raydedup import kernels as K
+            inter = np.zeros(len(sel), dtype=np.int64)
+            la = np.zeros(len(sel), dtype=np.int64)
+            lb = np.zeros(len(sel), dtype=np.int64)
+            cs = combo[sel]
+            for c in np.unique(cs):
+                i, j = divmod(int(c), P)
+                m = cs == c
+                fa, oa = shards[i][3], shards[i][4]
+                fb, ob = shards[j][3], shards[j][4]
+                ia = ra[sel[m]]
+                ib = rb[sel[m]]
+                inter[m] = K.segmented_intersection_sizes2(
+                    fa, oa, ia, fb, ob, ib)
+                la[m] = oa[ia + 1] - oa[ia]
+                lb[m] = ob[ib + 1] - ob[ib]
+            return inter, la, lb
+
         return _finish_scores(t.column("id_a"), t.column("id_b"), est,
-                              lambda: (bflat, boffs, ia, ib),
-                              cfg, force_exact)
+                              get_exact, cfg, force_exact)
 
     return pairs.map_batches(score, batch_format="pyarrow")
 
