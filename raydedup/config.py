@@ -69,6 +69,11 @@ class VerifyConfig:
     # are kept as match_kind="substring" even below the Jaccard threshold
     # (file A embedded verbatim in larger file B). 0 disables.
     containment_threshold: float = 0.9
+    # target payload bytes per broadcast-assembly id-range shard; the copy
+    # into each broadcast object is fault-bound on /dev/shm, so shards
+    # assemble in parallel (1 shard = the classic single-object path).
+    # Tests force tiny values to exercise the multi-shard scoring path.
+    broadcast_shard_bytes: int = 256 << 20
 
 
 @dataclass(frozen=True)

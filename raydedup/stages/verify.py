@@ -24,9 +24,6 @@ import ray.data
 from raydedup.config import EngineConfig
 from raydedup.util import hash_join, unpack_u64_2d
 
-# target payload bytes per broadcast-assembly shard (see _broadcast_verify)
-_SHARD_TARGET_BYTES = 256 << 20
-
 
 def _score_batch(cfg: EngineConfig, force_exact: bool = False):
     P = cfg.minhash.num_perm
@@ -221,7 +218,8 @@ def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     # shard the assembly by id range (~256 MB payload per shard): the copy
     # into the broadcast object is fault-bound on /dev/shm at a few hundred
     # MB/s per stream, so P parallel shard tasks replace one serial task
-    n_shards = int(np.clip(sub.size_bytes() // _SHARD_TARGET_BYTES, 1, 16))
+    n_shards = int(np.clip(
+        sub.size_bytes() // max(1, cfg.verify.broadcast_shard_bytes), 1, 16))
     bounds = cand_ids[(np.arange(1, n_shards) * len(cand_ids)) // n_shards] \
         if n_shards > 1 else np.empty(0, dtype=cand_ids.dtype)
     los = [None] + list(bounds)

@@ -690,3 +690,89 @@ def test_containment_pair_at_exact_threshold_found():
     out = containment_candidates(rd.from_arrow(tbl),
                                  EngineConfig()).to_pandas()
     assert (1, 2) in {(int(r.id_a), int(r.id_b)) for r in out.itertuples()}
+
+
+# ------------------------------------- sharded broadcast verify parity
+
+def _shard_corpus_table():
+    from tests.test_round2 import _mk_code_table
+    rng = np.random.default_rng(11)
+    rows = []
+    rid = 1
+    for g in range(6):                      # 6 near-dup groups of 3
+        base = " ".join(f"g{g}tok{i}" for i in range(60))
+        rows.append((rid, base, "en")); rid += 1
+        rows.append((rid, base, "en")); rid += 1   # exact dup
+        rows.append((rid, base.replace(f"g{g}tok7", "CHANGED"), "en"))
+        rid += 1
+    # one containment pair: small doc embedded in a modestly larger one
+    # (J ~ 0.6 so LSH banding still surfaces the candidate; containment 1.0
+    # with J < 0.7 classifies it substring on the flagship path)
+    small = " ".join(f"sub{i}" for i in range(40))
+    rows.append((rid, small, "en")); rid += 1
+    rows.append((rid, small + " " + " ".join(f"pad{i}" for i in range(24)),
+                 "en")); rid += 1
+    for _ in range(20):                     # unrelated noise docs
+        rows.append((rid, " ".join(
+            f"x{rng.integers(0, 1 << 30)}" for _ in range(50)), "en"))
+        rid += 1
+    return _mk_code_table(rows)
+
+
+def test_sharded_broadcast_verify_matches_single_shard():
+    """Forcing broadcast_shard_bytes=1 splits the broadcast payload into the
+    max 16 id-range shards; every (pair, kind, jaccard, containment) must be
+    IDENTICAL to the single-shard path — gates the per-(shard_a, shard_b)
+    combo scoring and the two-address-space intersection kernel that only
+    multi-GB corpora exercise in production."""
+    from raydedup.config import EngineConfig, VerifyConfig
+    from raydedup.issues import IssueType
+    from raydedup.pipeline import run_pipeline
+
+    tbl = _shard_corpus_table()
+
+    def run(shard_bytes):
+        cfg = EngineConfig(
+            verify=VerifyConfig(broadcast_shard_bytes=shard_bytes))
+        res = run_pipeline(rd.from_arrow(tbl), cfg,
+                           issues_to_detect=[IssueType.NEAR_DUPLICATES])
+        return res.verified_pairs.to_pandas().sort_values(
+            ["id_a", "id_b"]).reset_index(drop=True)
+
+    single = run(1 << 40)                   # payload << target -> 1 shard
+    sharded = run(1)                        # forces the 16-shard cap
+    assert len(single) and len(sharded) == len(single)
+    for col in ["id_a", "id_b", "match_kind"]:
+        assert (single[col] == sharded[col]).all()
+    for col in ["est_jaccard", "jaccard", "containment", "distance"]:
+        assert np.allclose(single[col], sharded[col], atol=0, rtol=0)
+    kinds = set(single.match_kind)
+    assert {"exact", "near_dup", "substring"} <= kinds
+
+
+def test_segmented_intersection_sizes2_two_spaces():
+    """The two-address-space kernel must agree with intersecting the same
+    segments through the single-space wrapper, including empty segments."""
+    from raydedup import kernels as K
+
+    rng = np.random.default_rng(5)
+    sets = [np.unique(rng.integers(0, 50, size=rng.integers(0, 20))
+                      .astype(np.uint64)) for _ in range(12)]
+    sets[3] = np.empty(0, np.uint64)        # planted empty segment
+    flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+    offs = np.cumsum([0] + [len(s) for s in sets]).astype(np.int64)
+    ia = np.array([0, 1, 3, 5, 7], np.int64)
+    ib = np.array([2, 1, 4, 3, 11], np.int64)
+    want = np.array([len(np.intersect1d(sets[a], sets[b]))
+                     if len(sets[a]) and len(sets[b]) else 0
+                     for a, b in zip(ia, ib)], np.int64)
+    one = K.segmented_intersection_sizes(flat, offs, ia, ib)
+    # second space: the same sets shuffled into a different layout
+    order = rng.permutation(len(sets))
+    flat_b = np.concatenate([sets[i] for i in order]) \
+        if len(sets) else np.empty(0, np.uint64)
+    offs_b = np.cumsum([0] + [len(sets[i]) for i in order]).astype(np.int64)
+    pos_b = np.argsort(order)               # row of set j in space B
+    two = K.segmented_intersection_sizes2(flat, offs, ia,
+                                          flat_b, offs_b, pos_b[ib])
+    assert (one == want).all() and (two == want).all()
