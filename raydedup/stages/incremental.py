@@ -72,6 +72,16 @@ class IncrementResult:
 
 
 # ------------------------------------------------------------------ helpers
+def _in_sorted(sorted_vals: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership mask of vals in a sorted int64 array (vectorized binary
+    search — the per-batch cost of a broadcast semi-join)."""
+    if len(sorted_vals) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_vals, vals), 0,
+                  len(sorted_vals) - 1)
+    return sorted_vals[pos] == vals
+
+
 def _distinct_keys(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
     from ray.data.aggregate import Count
     return ds.select_columns([col]).groupby(col) \
@@ -82,9 +92,12 @@ def _semi_join(ds: ray.data.Dataset, keys: ray.data.Dataset, col: str,
                key_col: str, cfg: EngineConfig) -> ray.data.Dataset:
     """Rows of ds whose ds[col] is in keys[key_col]. Broadcast membership
     filter while the key set is driver-small; hash semi-join (against the
-    DISTINCT key set, so no row multiplication) beyond."""
-    tbl = collect_up_to(keys.select_columns([key_col]),
-                        C.DRIVER_SMALL_LIMIT)
+    DISTINCT key set, so no row multiplication) beyond. The key column is
+    materialized first: it is consumed up to twice (collect probe + join
+    build), and re-executing a lazy aggregate lineage per consumer was the
+    dominant cost of the 1.6M-row incremental probe."""
+    keys = keys.select_columns([key_col]).materialize()
+    tbl = collect_up_to(keys, C.DRIVER_SMALL_LIMIT)
     if tbl is not None:
         if tbl.num_rows == 0:
             return ds.map_batches(lambda t: t.slice(0, 0),
@@ -106,19 +119,22 @@ def _semi_join(ds: ray.data.Dataset, keys: ray.data.Dataset, col: str,
 
 def _pairs_touching(pairs: ray.data.Dataset, ids: ray.data.Dataset,
                     cfg: EngineConfig) -> ray.data.Dataset:
-    """Pairs with >= 1 endpoint in ids. Broadcast is_in while small; beyond,
-    two flag joins (flag = max over (ids:1, endpoints:0) — complete on every
-    endpoint, so the inner hash joins lose no pair rows)."""
-    tbl = collect_up_to(ids.select_columns(["id"]), C.DRIVER_SMALL_LIMIT)
+    """Pairs with >= 1 endpoint in ids. Broadcast sorted-array membership
+    while the id set fits cfg.broadcast_id_limit (int64 ids: 20M rows =
+    160 MB, one object-store read per task); beyond, two flag joins (flag =
+    max over (ids:1, endpoints:0) — complete on every endpoint, so the
+    inner hash joins lose no pair rows)."""
+    tbl = collect_up_to(ids.select_columns(["id"]), cfg.broadcast_id_limit)
     if tbl is not None:
-        vals = pc.unique(tbl.column("id").combine_chunks()) \
-            if tbl.num_rows else pa.array([], pa.int64())
+        id_set = np.unique(
+            tbl.column("id").to_numpy(zero_copy_only=False)) \
+            if tbl.num_rows else np.empty(0, np.int64)
 
         def keep(t: pa.Table) -> pa.Table:
-            m = pc.or_kleene(
-                pc.is_in(t.column("id_a"), value_set=vals),
-                pc.is_in(t.column("id_b"), value_set=vals))
-            return t.filter(pc.fill_null(m, False))
+            a = t.column("id_a").to_numpy(zero_copy_only=False)
+            b = t.column("id_b").to_numpy(zero_copy_only=False)
+            m = _in_sorted(id_set, a) | _in_sorted(id_set, b)
+            return t.filter(pa.array(m))
 
         return pairs.map_batches(keep, batch_format="pyarrow")
 
@@ -219,9 +235,26 @@ def incremental_pairs(new_sigs: ray.data.Dataset,
     srt = all_sigs.select_columns(["content_sha256", "id"]) \
         .sort("content_sha256").materialize()
 
-    # ---- exact plane: complete groups whose sha a new doc shares
-    touched = _semi_join(srt, new_shas, "content_sha256", "content_sha256",
-                         cfg).sort("content_sha256").materialize()
+    # ---- exact plane: complete groups whose sha a new doc shares.
+    # The broadcast membership filter preserves block and row order, so the
+    # filtered rows are still globally sha-sorted — no re-sort; only the
+    # hash-join fallback (order-destroying) pays one.
+    sha_tbl = collect_up_to(new_shas, C.DRIVER_SMALL_LIMIT)
+    if sha_tbl is not None:
+        sha_vals = pc.unique(
+            sha_tbl.column("content_sha256").combine_chunks()) \
+            if sha_tbl.num_rows else pa.array([], pa.string())
+
+        def keep_sha(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column("content_sha256"), value_set=sha_vals)
+            return t.filter(pc.fill_null(m, False))
+
+        touched = srt.map_batches(keep_sha, batch_format="pyarrow") \
+            .materialize()
+    else:
+        touched = _semi_join(srt, new_shas, "content_sha256",
+                             "content_sha256", cfg) \
+            .sort("content_sha256").materialize()
     exact_all = C.grouped_pairs(None, "content_sha256",
                                 cfg.lsh.max_group_pairs,
                                 cfg.join_num_partitions, mode="all",
@@ -244,16 +277,39 @@ def incremental_pairs(new_sigs: ray.data.Dataset,
     newside_rep_ids = C.run_minima(touched, "content_sha256") \
         .materialize()
 
-    # rows_all IS materialized (two consumers: the new-side probe and the
-    # bucket prune); the single-consumer stages below stay lazy so the
-    # streaming executor pipelines them instead of paying a full-execute
-    # barrier each (~0.5 s of orchestration per materialize at toy scale)
-    rows_all = rep_band.map_batches(C._explode_bands(cfg, 1),
-                                    batch_format="pyarrow").materialize()
-    newside_rows = _semi_join(rows_all, newside_rep_ids, "id", "id", cfg)
-    # bucket prune: only buckets a new-side rep touches can yield new pairs
-    rows = _semi_join(rows_all, _distinct_keys(newside_rows, "gkey"),
-                      "gkey", "gkey", cfg)
+    # bucket prune: only buckets a new-side rep touches can yield new pairs.
+    # Explode the NEWSIDE reps' bands first (increment-sized: |new reps| x
+    # bands rows) and collect their distinct gkeys as ONE broadcast sorted
+    # array, then fuse the membership filter INTO the base band explode —
+    # the full |reps| x bands row set streams through a single filter pass
+    # and never materializes or shuffles. (The previous shape — materialize
+    # the full explode, then hash-semi-join it on a lazily-aggregated key
+    # set — re-executed the key lineage three times and shuffled 51M rows
+    # at a 1.6M-doc base: 209 s of the 295 s probe wall.)
+    newside_rows = _filter_rep_ids(rep_band, newside_rep_ids, cfg) \
+        .map_batches(C._explode_bands(cfg, 1), batch_format="pyarrow")
+    gk_tbl = collect_up_to(newside_rows.select_columns(["gkey"]),
+                           cfg.broadcast_id_limit)
+    if gk_tbl is not None:
+        gkeys = np.unique(
+            gk_tbl.column("gkey").to_numpy(zero_copy_only=False)) \
+            if gk_tbl.num_rows else np.empty(0, np.int64)
+        _explode = C._explode_bands(cfg, 1)
+
+        def explode_pruned(t: pa.Table) -> pa.Table:
+            out = _explode(t)
+            g = out.column("gkey").to_numpy(zero_copy_only=False)
+            return out.filter(pa.array(_in_sorted(gkeys, g)))
+
+        rows = rep_band.map_batches(explode_pruned, batch_format="pyarrow")
+    else:
+        # key set beyond the broadcast budget: materialize the full band
+        # explode (two consumers) and prune via distributed semi-joins
+        rows_all = rep_band.map_batches(C._explode_bands(cfg, 1),
+                                        batch_format="pyarrow").materialize()
+        newside_d = _semi_join(rows_all, newside_rep_ids, "id", "id", cfg)
+        rows = _semi_join(rows_all, _distinct_keys(newside_d, "gkey"),
+                          "gkey", "gkey", cfg)
     cand = C.grouped_pairs(rows.select_columns(["gkey", "id"]), "gkey",
                            cfg.lsh.max_group_pairs,
                            cfg.join_num_partitions, mode="all")
@@ -278,22 +334,45 @@ def incremental_keep_delta(pairs: ray.data.Dataset,
 
     cfg = cfg or EngineConfig()
     dist = V.distance_pairs(pairs).materialize()
-    ends = dist.select_columns(["id_a"]).rename_columns({"id_a": "id"}) \
-        .union(dist.select_columns(["id_b"]).rename_columns({"id_b": "id"}))
-    nodes = _distinct_keys(ends.union(new_ids.select_columns(["id"])), "id")
+    # node set = distinct(dist endpoints ∪ new ids). Driver np.unique while
+    # both sides are collectable (pair-scale data): a distributed distinct
+    # here measured 24 s of pure groupby orchestration for 300k rows at the
+    # 1.6M probe. Distributed distinct beyond the broadcast budget.
+    end_tbl = collect_up_to(dist.select_columns(["id_a", "id_b"]),
+                            cfg.broadcast_id_limit)
+    nid_tbl = collect_up_to(new_ids.select_columns(["id"]),
+                            cfg.broadcast_id_limit)
+    if end_tbl is not None and nid_tbl is not None:
+        parts = [nid_tbl.column("id").to_numpy(zero_copy_only=False)
+                 .astype(np.int64)] if nid_tbl.num_rows else []
+        if end_tbl.num_rows:
+            parts += [end_tbl.column("id_a").to_numpy(zero_copy_only=False)
+                      .astype(np.int64),
+                      end_tbl.column("id_b").to_numpy(zero_copy_only=False)
+                      .astype(np.int64)]
+        uids = np.unique(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
+        nodes = ray.data.from_arrow(
+            pa.table({"id": pa.array(uids, pa.int64())}))
+    else:
+        ends = dist.select_columns(["id_a"]) \
+            .rename_columns({"id_a": "id"}) \
+            .union(dist.select_columns(["id_b"])
+                   .rename_columns({"id_b": "id"}))
+        nodes = _distinct_keys(ends.union(new_ids.select_columns(["id"])),
+                               "id")
     clusters = CL.connected_components(dist, nodes, cfg).materialize()
 
     tbl = collect_up_to(new_ids.select_columns(["id"]),
-                        C.DRIVER_SMALL_LIMIT)
+                        cfg.broadcast_id_limit)
     if tbl is not None:
-        vals = pc.unique(tbl.column("id").combine_chunks()) \
-            if tbl.num_rows else pa.array([], pa.int64())
+        vals = np.unique(
+            tbl.column("id").to_numpy(zero_copy_only=False)) \
+            if tbl.num_rows else np.empty(0, np.int64)
 
         def mark(t: pa.Table) -> pa.Table:
-            is_new = pc.fill_null(
-                pc.is_in(t.column("id"), value_set=vals), False) \
-                .to_numpy(zero_copy_only=False)
             ids = t.column("id").to_numpy(zero_copy_only=False)
+            is_new = _in_sorted(vals, ids)
             return pa.table({
                 "cluster_id": t.column("cluster_id"),
                 "new_key": pa.array(
@@ -321,6 +400,28 @@ def incremental_keep_delta(pairs: ray.data.Dataset,
             })
 
         marked = j.map_batches(mark_j, batch_format="pyarrow")
+
+    # per-cluster (min new_key, max old): driver reduceat while the marked
+    # rows are collectable (they are node-scale — a distributed Min/Max
+    # groupby here measured 12 s of orchestration for 216k rows at the
+    # 1.6M probe); hash-aggregate fallback beyond.
+    mtbl = collect_up_to(marked, cfg.broadcast_id_limit)
+    if mtbl is not None:
+        if mtbl.num_rows == 0:
+            return ray.data.from_arrow(
+                pa.table({"id": pa.array([], pa.int64())})), clusters
+        cid = mtbl.column("cluster_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nk = mtbl.column("new_key").to_numpy(zero_copy_only=False)
+        old = mtbl.column("old").to_numpy(zero_copy_only=False)
+        order = np.argsort(cid, kind="stable")
+        cid, nk, old = cid[order], nk[order], old[order]
+        starts = np.nonzero(np.r_[True, cid[1:] != cid[:-1]])[0]
+        keep_id = np.minimum.reduceat(nk, starts)
+        has_old = np.maximum.reduceat(old, starts)
+        sel = (has_old == 0) & (keep_id != np.iinfo(np.int64).max)
+        return ray.data.from_arrow(pa.table(
+            {"id": pa.array(keep_id[sel], pa.int64())})), clusters
 
     agg = marked.groupby("cluster_id").aggregate(
         Min("new_key", alias_name="keep_id"),
