@@ -35,6 +35,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="output dir; one sub-dir of Parquet per surface")
     ap.add_argument("--ckpt-dir", default=None,
                     help="per-partition checkpoint dir (resume on rerun)")
+    ap.add_argument("--write-signatures", action="store_true",
+                    help="also persist the signature table as a surface "
+                         "(the stored base a later --base-sigs run needs)")
+    ap.add_argument("--base-sigs", default=None,
+                    help="INCREMENTAL mode: dedupe --input (the new files) "
+                         "against this stored signature Parquet dir from a "
+                         "prior --write-signatures run; base content is "
+                         "never re-scanned. Surfaces: incremental pairs, "
+                         "keep_delta, clusters, new_signatures (append to "
+                         "the base dir for the next increment)")
     ap.add_argument("--issues", default="near_duplicates",
                     help="comma list: near_duplicates,off_topic,label_errors")
     ap.add_argument("--threshold", type=float, default=None,
@@ -76,18 +86,41 @@ def main(argv: list[str] | None = None) -> int:
               for s in args.issues.split(",") if s.strip()]
 
     t0 = time.perf_counter()
-    res = run_on_parquet(args.input, cfg, issues_to_detect=issues,
-                         ckpt_dir=args.ckpt_dir)
-    from raydedup.stages.cluster import keep_representatives
-    surfaces = {
-        "verified_pairs": res.verified_pairs,
-        "clusters": res.clusters,
-        "keep_list": (keep_representatives(res.clusters)
-                      if res.clusters is not None else None),
-        "duplicity": res.duplicity,
-        "ranked_pairs": res.ranked_pairs,
-        "label_errors": res.label_errors,
-    }
+    if args.base_sigs is not None:
+        # incremental job: the only content scan is the increment's
+        import ray.data as rd
+
+        from raydedup.stages.incremental import incremental_on_files
+        from raydedup.stages.ingest import read_code_files
+        # canonical signature projection: a --write-signatures surface from
+        # a checkpointed run may carry a ckpt_part column, and union with
+        # the increment's fresh signatures needs identical schemas
+        sig_cols = ["id", "content_sha256", "lang", "n_shingles",
+                    "minhash", "shingles", "simhash"]
+        inc = incremental_on_files(
+            read_code_files(args.input),
+            rd.read_parquet(args.base_sigs, columns=sig_cols), cfg)
+        surfaces = {
+            "incremental_pairs": inc.pairs,
+            "keep_delta": inc.keep_delta,
+            "clusters": inc.clusters,
+            "new_signatures": inc.new_signatures,
+        }
+    else:
+        res = run_on_parquet(args.input, cfg, issues_to_detect=issues,
+                             ckpt_dir=args.ckpt_dir)
+        from raydedup.stages.cluster import keep_representatives
+        surfaces = {
+            "verified_pairs": res.verified_pairs,
+            "clusters": res.clusters,
+            "keep_list": (keep_representatives(res.clusters)
+                          if res.clusters is not None else None),
+            "duplicity": res.duplicity,
+            "ranked_pairs": res.ranked_pairs,
+            "label_errors": res.label_errors,
+        }
+        if args.write_signatures:
+            surfaces["signatures"] = res.signatures
     metrics: dict = {"input": args.input, "surfaces": {}}
     n_rows = None
     for name, ds in surfaces.items():
@@ -105,7 +138,8 @@ def main(argv: list[str] | None = None) -> int:
             "rows": cnt, "write_secs": round(time.perf_counter() - t1, 3),
             "path": out_dir,
         }
-        if name == "clusters":
+        if name == ("new_signatures" if args.base_sigs is not None
+                    else "clusters"):
             n_rows = cnt
     wall = time.perf_counter() - t0
     metrics["wall_secs"] = round(wall, 3)

@@ -631,6 +631,70 @@ def test_job_entrypoint_writes_surfaces_and_metrics(tmp_path):
         set(cl.column("cluster_id").to_pylist()))
 
 
+def test_job_entrypoint_incremental_mode(tmp_path):
+    """The daily-increment loop through the CLI: a base run persists its
+    signatures (--write-signatures), an increment run dedupes new files
+    against that stored dir (--base-sigs) without re-scanning base content,
+    and the surfaces match the library-level incremental result."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raydedup import corpus
+    from raydedup.__main__ import main
+
+    code_dir, _ = corpus.write_corpus(str(tmp_path / "corp"), 200, seed=11,
+                                      num_files=2)
+    tbl = pq.read_table(code_dir)
+    ids_t = rd.read_parquet(code_dir)
+    from raydedup.stages.ingest import ingest
+    ing = ingest(ids_t).to_pandas()
+    new_mask = (ing["id"].to_numpy() % 4) == 1
+
+    base_dir = tmp_path / "base_files"
+    new_dir = tmp_path / "new_files"
+    import pyarrow as pa
+    pq.write_table(tbl.filter(pa.array(~new_mask)),
+                   str(base_dir) + ".parquet")
+    pq.write_table(tbl.filter(pa.array(new_mask)),
+                   str(new_dir) + ".parquet")
+
+    out_base = tmp_path / "out_base"
+    rc = main(["--input", str(base_dir) + ".parquet",
+               "--output", str(out_base), "--write-signatures"])
+    assert rc == 0
+    m = json.loads((out_base / "metrics.json").read_text())
+    assert m["surfaces"]["signatures"]["rows"] == int((~new_mask).sum())
+
+    out_inc = tmp_path / "out_inc"
+    rc = main(["--input", str(new_dir) + ".parquet",
+               "--output", str(out_inc),
+               "--base-sigs", str(out_base / "signatures")])
+    assert rc == 0
+    mi = json.loads((out_inc / "metrics.json").read_text())
+    assert set(mi["surfaces"]) == {"incremental_pairs", "keep_delta",
+                                   "clusters", "new_signatures"}
+    assert mi["surfaces"]["new_signatures"]["rows"] == int(new_mask.sum())
+
+    # parity vs the library-level incremental run
+    from raydedup.stages.incremental import incremental_on_files
+    from raydedup.stages.signatures import compute_signatures
+    from raydedup.config import EngineConfig
+    base_sigs = compute_signatures(
+        ingest(rd.from_arrow(tbl.filter(pa.array(~new_mask)))),
+        EngineConfig()).materialize()
+    ref = incremental_on_files(
+        rd.from_arrow(tbl.filter(pa.array(new_mask))), base_sigs)
+    ref_pairs = ref.pairs.to_pandas()
+    got_pairs = pq.read_table(str(out_inc / "incremental_pairs")).to_pandas()
+    key = lambda df: set(zip(df.id_a, df.id_b, df.match_kind))
+    assert key(got_pairs) == key(ref_pairs)
+    got_keep = set(pq.read_table(str(out_inc / "keep_delta"))
+                   .column("id").to_pylist())
+    assert got_keep == set(ref.keep_delta.to_pandas()["id"])
+
+
 def test_containment_probe_count_exact_rational():
     """Regression: p must be the REAL-arithmetic floor((1-cthr)*n)+1.
     1-0.9 rounds below 0.1, so bare floor(n*frac) was one short at every
