@@ -97,9 +97,20 @@ def main(argv: list[str] | None = None) -> int:
         # the increment's fresh signatures needs identical schemas
         sig_cols = ["id", "content_sha256", "lang", "n_shingles",
                     "minhash", "shingles", "simhash"]
+        # size the increment read's blocks at the source (same fusion as
+        # run_on_parquet: read -> ingest -> signatures with no content
+        # exchange through the object store)
+        from raydedup.pipeline import _target_blocks
+        src = read_code_files(args.input)
+        try:
+            n_new = src.count()            # parquet: metadata-only
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            src = read_code_files(args.input,
+                                  num_blocks=_target_blocks(n_new, cpus))
+        except Exception:
+            pass
         inc = incremental_on_files(
-            read_code_files(args.input),
-            rd.read_parquet(args.base_sigs, columns=sig_cols), cfg)
+            src, rd.read_parquet(args.base_sigs, columns=sig_cols), cfg)
         surfaces = {
             "incremental_pairs": inc.pairs,
             "keep_delta": inc.keep_delta,
