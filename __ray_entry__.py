@@ -115,6 +115,20 @@ def _q_lang_id(sf_dir: str):
     return lang_id(_documents(sf_dir))
 
 
+def _q_media_wav_roundtrip(sf_dir: str):
+    """Multimodal decode plane, oracle-gated: text codepoints -> REAL 16-bit
+    PCM WAV payloads -> the real WAV decoder -> integer per-sample stats.
+    The SQL oracle recomputes the stats from the text alone (unicode(c) mod
+    251 per codepoint), so a deleted or faked decode path mismatches."""
+    from raydedup.stages.multimodal import audio_stats, docs_to_wav
+    media = docs_to_wav(_documents(sf_dir).select_columns(["doc_id", "text"]))
+    out = audio_stats(media).map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id" if c == "media_id" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    return out
+
+
 def _q_quality_filter(sf_dir: str):
     from raydedup.stages.textstats import quality_filter
     return _collect(quality_filter(_documents(sf_dir)),
@@ -645,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "lang_id": _q_lang_id,
         "quality_filter": _q_quality_filter,
+        "media_wav_roundtrip": _q_media_wav_roundtrip,
         "corpus_stats_by_lang": _q_corpus_stats_by_lang,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -1056,6 +1071,20 @@ def oracle_sql() -> dict[str, str]:
                    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                        AS fingerprint
             FROM documents
+        """,
+        "media_wav_roundtrip": r"""
+            SELECT doc_id, len(cps) AS n_samples,
+                   coalesce(list_aggregate(cps, 'sum'), 0) AS sample_sum,
+                   coalesce(list_aggregate(cps, 'min'), 0) AS sample_min,
+                   coalesce(list_aggregate(cps, 'max'), 0) AS sample_max
+            FROM (SELECT doc_id,
+                         list_transform(
+                             list_filter(
+                                 regexp_split_to_array(coalesce(text, ''),
+                                                       ''),
+                                 c -> c <> ''),
+                             c -> unicode(c) % 251) AS cps
+                  FROM documents)
         """,
         "quality_filter": r"""
             WITH q AS (

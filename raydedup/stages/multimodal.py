@@ -177,6 +177,72 @@ def decode_features(media: ray.data.Dataset, concurrency: int = 4,
         concurrency=(1, concurrency), num_cpus=1)
 
 
+def docs_to_wav(docs: ray.data.Dataset, rate: int = 8000
+                ) -> ray.data.Dataset:
+    """documents (doc_id, text) -> MEDIA_SCHEMA-shaped audio rows whose
+    payload is a REAL 16-bit PCM WAV: sample i = codepoint i of the text,
+    mod 251. Deterministic and codepoint-true, so an independent SQL oracle
+    can recompute the expected waveform from the text alone — the gate that
+    makes the decode plane non-vacuous on driver data (a fake decode would
+    not reproduce the per-sample stats)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        payloads, durs = [], np.empty(len(texts), np.int32)
+        for i, s in enumerate(texts):
+            cps = np.frombuffer((s or "").encode("utf-32-le"), dtype="<u4")
+            samples = (cps % np.uint32(251)).astype(np.int16)
+            payloads.append(codecs.encode_wav(samples, rate))
+            durs[i] = len(samples) * 1000 // rate
+        n = t.num_rows
+        return pa.table({
+            "media_id": t.column("doc_id").cast(pa.int64()),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["audio/wav"] * n, pa.string()),
+            "width": pa.array(np.full(n, -1, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, -1, np.int32), pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def audio_stats(media: ray.data.Dataset) -> ray.data.Dataset:
+    """(media_id, payload) -> integer per-payload PCM stats through the REAL
+    WAV decoder: n_samples, sample_sum, sample_min, sample_max (0s for an
+    empty waveform). 16-bit PCM recovers the original integers exactly —
+    decode divides by 2^15 (exact in float32), rint undoes it. Stateless
+    map_batches tasks (the decode holds no model state; a true model stage
+    would be an actor pool, see decode_features)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        n = len(payloads)
+        ns = np.zeros(n, np.int64)
+        sm = np.zeros(n, np.int64)
+        mn = np.zeros(n, np.int64)
+        mx = np.zeros(n, np.int64)
+        for i, p in enumerate(payloads):
+            wave, _ = codecs.decode_wav(p)
+            if len(wave) == 0:
+                continue
+            ints = np.rint(wave.astype(np.float64) * 32768.0).astype(np.int64)
+            ns[i] = len(ints)
+            sm[i] = ints.sum()
+            mn[i] = ints.min()
+            mx[i] = ints.max()
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sample_sum": pa.array(sm, pa.int64()),
+            "sample_min": pa.array(mn, pa.int64()),
+            "sample_max": pa.array(mx, pa.int64()),
+        })
+
+    return media.map_batches(fn, batch_format="pyarrow")
+
+
 def frame_sample(media: ray.data.Dataset, every_ms: int = 1000
                  ) -> ray.data.Dataset:
     """Video rows -> one row per sampled frame timestamp (timestamp plan

@@ -438,3 +438,50 @@ def test_truncated_payloads_raise_valueerror():
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVEfmt "
                    + (8).to_bytes(4, "little") + b"\x00" * 8)
+
+
+# ----------------------------------------- WAV round-trip stats (driver gate)
+
+def test_docs_to_wav_audio_stats_roundtrip_parity():
+    """The media_wav_roundtrip driver query's engine half: text codepoints
+    mod 251 -> real WAV encode -> real WAV decode -> integer stats must equal
+    a direct computation from the text (what the SQL oracle replays)."""
+    texts = ["hello world", "", "   ", "a\U0001F600b\u00e9",  # astral + accents
+             "x" * 1000, " tail"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = {r["media_id"]: r for r in
+           multimodal.audio_stats(multimodal.docs_to_wav(docs)).take_all()}
+    assert len(out) == len(texts)
+    for i, s in enumerate(texts):
+        cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4") \
+            .astype(np.int64) % 251
+        r = out[i]
+        assert r["n_samples"] == len(cps)
+        assert r["sample_sum"] == int(cps.sum())
+        assert r["sample_min"] == (int(cps.min()) if len(cps) else 0)
+        assert r["sample_max"] == (int(cps.max()) if len(cps) else 0)
+
+
+def test_media_wav_roundtrip_query_matches_duckdb_oracle():
+    """Full driver-contract parity at sf0.001: queries()['media_wav_roundtrip']
+    vs oracle_sql() through DuckDB, value-for-value."""
+    import importlib.util
+
+    import duckdb
+    spec = importlib.util.spec_from_file_location(
+        "_ray_entry_test", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    got = mod.queries()["media_wav_roundtrip"]("/root/testdata/sf0.001") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    exp = con.sql(mod.oracle_sql()["media_wav_roundtrip"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == list(exp.columns) == \
+        ["doc_id", "n_samples", "sample_sum", "sample_min", "sample_max"]
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
