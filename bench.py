@@ -80,8 +80,12 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # num_cpus on a small corpus made 32 CPUs SLOWER than 16 (round-1
     # regression). ~25k rows per partition keeps each aggregator busy.
     npart = min(num_cpus, max(4, run_rows // 25_000))
+    # GRAFT_SIG_BATCH lets A/B perf experiments override the signature
+    # batch size without editing EngineConfig (0/unset = config default)
+    sig_bs = int(os.environ.get("GRAFT_SIG_BATCH", "0"))
     cfg = EngineConfig(sig_concurrency=max(2, num_cpus - 2),
-                       join_num_partitions=npart)
+                       join_num_partitions=npart,
+                       **({"sig_batch_size": sig_bs} if sig_bs else {}))
 
     invariants = {"n_pairs": [], "n_clusters": []}
 

@@ -95,7 +95,17 @@ class EngineConfig:
     seed: int = 42
 
     # execution knobs
-    sig_batch_size: int = 512       # docs per batch in the signature actor pool
+    # docs per batch in the signature actor pool. 128 keeps the kernel
+    # chain's per-batch working set (~1-2 MB: token hashes, shingle sets,
+    # 128-perm sketch buffers, segment-sort scratch) inside each core's
+    # private-cache share: the batch-size contention sweep
+    # (tools/kernel_contention_probe.py --batch-size) measures 16-process
+    # per-CPU inflation of 1.16x at bs=128 vs 1.85x at bs=512 on one
+    # socket, and ~11% lower single-process CPU; the 400k-row flagship at
+    # 16 CPUs drops 31.5 s -> 19.4 s from this knob alone (n_pairs
+    # invariant). On a real multi-node cluster each node brings its own
+    # LLC, so the small-batch setting costs nothing there either.
+    sig_batch_size: int = 128
     sig_concurrency: int = 8        # signature actor pool size
     join_num_partitions: int = 16   # hash-join partitions for sig/pair joins
     cc_max_iters: int = 20          # hash-min propagation rounds (O(log N) expected)

@@ -1,18 +1,33 @@
 """Ray-free signature-kernel contention probe.
 
-Adjudicates the 1.6M-row strong-scaling gap: runs the EXACT signature-stage
-kernel chain (tokenize_hash_arrow -> shingle_hashes -> segmented_unique ->
-minhash_from_sorted_unique -> packers) on identical real corpus batches in P
+Adjudicates strong-scaling gaps: runs the EXACT signature-stage kernel chain
+(tokenize_hash_arrow -> shingle_hashes -> segmented_unique ->
+minhash_from_sorted_unique -> packers) on identical real corpus rows in P
 concurrent processes with NO Ray and NO object store, and reports per-process
 CPU seconds for the same fixed work. If per-task CPU inflates with P here,
 the inflation is hardware resource contention (shared LLC / memory-latency
 under concurrency on this VM), not engine or Ray overhead — it bounds the
-best strong-scaling ANY engine could measure on this host:
+best strong-scaling ANY engine could measure on this host AT THAT SLICE SIZE:
   silicon_ceiling(P_lo -> P_hi) = cpu_total(P_lo) / cpu_total(P_hi).
 
+THE CEILING IS A FUNCTION OF THE SLICE (batch) SIZE. The original round-3
+runs sliced 12.5k rows per actor call and measured 1.71-1.86x inflation at
+16 procs (ceiling ~0.54); sweeping --batch-size shows the inflation is the
+kernel chain's working set overflowing the shared LLC, not an intrinsic
+host limit:
+
+  bs=64   infl16 1.04      bs=512  infl16 1.85
+  bs=128  infl16 1.16      bs=12500 infl16 1.7-1.9
+  bs=256  infl16 1.27      (single-proc CPU also ~11% lower at 128 vs 512)
+
+which is why EngineConfig.sig_batch_size defaults to 128 (config.py) — at
+that slice the per-process working set fits the per-core cache share and
+16 processes run almost contention-free.
+
 Usage: python tools/kernel_contention_probe.py [--procs 1,4,16]
-       [--batches-per-proc 4] [--corpus DIR]
-Prints one JSON line.
+       [--rows-per-proc 50000] [--batch-size 128] [--corpus DIR]
+Prints one JSON line. (--batches-per-proc N is still accepted: it means
+N * 12500 rows, preserving the original probe's invocation shape.)
 """
 
 from __future__ import annotations
@@ -23,11 +38,16 @@ import os
 import sys
 import time
 
+# runnable as `python tools/kernel_contention_probe.py` from anywhere:
+# sys.path[0] is tools/, not the repo root the workers import raydedup from
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 CORPUS = "/tmp/raydedup_bench_corpus_1600000_42/code_files"
-BATCH_ROWS = 12_500  # matches sig_batch_size-scale batches in the probe runs
+LEGACY_BATCH_ROWS = 12_500  # slice size of the original (round-3) probe runs
 
 
-def _worker(q: mp.Queue, file_idx: int, batches: int, start_at: float) -> None:
+def _worker(q: mp.Queue, file_idx: int, rows: int, batch_size: int,
+            start_at: float) -> None:
     import pyarrow.parquet as pq
 
     from raydedup.config import EngineConfig
@@ -38,7 +58,7 @@ def _worker(q: mp.Queue, file_idx: int, batches: int, start_at: float) -> None:
     tbl = pq.read_table(path, columns=["content"]).combine_chunks()
     # ingest-equivalent columns the actor expects
     import pyarrow as pa
-    n = min(BATCH_ROWS, tbl.num_rows)
+    n = min(rows, tbl.num_rows)
     batch = pa.table({
         "id": pa.array(range(n), pa.int64()),
         "content_sha256": pa.array([b"\x00" * 32] * n, pa.binary()),
@@ -51,15 +71,15 @@ def _worker(q: mp.Queue, file_idx: int, batches: int, start_at: float) -> None:
         time.sleep(0.001)
     t0w = time.perf_counter()
     t0c = time.process_time()
-    for _ in range(batches):
-        actor(batch)
+    for off in range(0, n, batch_size):
+        actor(batch.slice(off, min(batch_size, n - off)))
     q.put((time.process_time() - t0c, time.perf_counter() - t0w))
 
 
-def measure(procs: int, batches: int) -> dict:
+def measure(procs: int, rows: int, batch_size: int) -> dict:
     q: mp.Queue = mp.Queue()
     start_at = time.time() + 3.0 + 0.5 * procs  # barrier after all warmed
-    ps = [mp.Process(target=_worker, args=(q, i, batches, start_at))
+    ps = [mp.Process(target=_worker, args=(q, i, rows, batch_size, start_at))
           for i in range(procs)]
     for p in ps:
         p.start()
@@ -70,33 +90,42 @@ def measure(procs: int, batches: int) -> dict:
     wall = max(r[1] for r in res)
     return {
         "procs": procs,
-        "batches_per_proc": batches,
+        "rows_per_proc": rows,
+        "batch_size": batch_size,
         "cpu_total_s": round(cpu, 2),
-        "cpu_per_batch_s": round(cpu / (procs * batches), 3),
+        "cpu_per_proc_s": round(cpu / procs, 3),
         "wall_s": round(wall, 2),
     }
 
 
 def main() -> None:
     procs = [1, 4, 16]
-    batches = 4
+    rows = 50_000
+    batch_size = 128  # EngineConfig.sig_batch_size default
     args = sys.argv[1:]
     if "--procs" in args:
         procs = [int(s) for s in args[args.index("--procs") + 1].split(",")]
-    if "--batches-per-proc" in args:
-        batches = int(args[args.index("--batches-per-proc") + 1])
+    if "--batches-per-proc" in args:  # legacy shape: N x 12.5k-row slices
+        n = int(args[args.index("--batches-per-proc") + 1])
+        rows = n * LEGACY_BATCH_ROWS
+        batch_size = LEGACY_BATCH_ROWS
+    if "--rows-per-proc" in args:
+        rows = int(args[args.index("--rows-per-proc") + 1])
+    if "--batch-size" in args:
+        batch_size = int(args[args.index("--batch-size") + 1])
     global CORPUS
     if "--corpus" in args:
         CORPUS = args[args.index("--corpus") + 1]
-    levels = [measure(p, batches) for p in procs]
-    base = levels[0]["cpu_per_batch_s"]
+    levels = [measure(p, rows, batch_size) for p in procs]
+    base = levels[0]["cpu_per_proc_s"]
     out = {
         "metric": "signature_kernel_cpu_vs_concurrency",
         "corpus": CORPUS,
-        "batch_rows": BATCH_ROWS,
+        "rows_per_proc": rows,
+        "batch_size": batch_size,
         "levels": levels,
         "cpu_inflation_vs_first": {
-            str(l["procs"]): round(l["cpu_per_batch_s"] / base, 3)
+            str(l["procs"]): round(l["cpu_per_proc_s"] / base, 3)
             for l in levels
         },
     }
