@@ -311,6 +311,10 @@ def decode_image(buf: bytes, mime: str) -> np.ndarray:
         # truncated headers surface as struct.error from unpack_from —
         # re-raise under the shared corrupt-payload contract (ValueError)
         raise ValueError(f"corrupt {mime} payload: {e}") from e
+    except zlib.error as e:
+        # a PNG whose chunk CRCs pass but whose IDAT stream is invalid
+        # deflate raises zlib.error from decompress — same contract
+        raise ValueError(f"corrupt {mime} payload: {e}") from e
     raise NotImplementedError(
         f"decoding {mime!r} requires PIL/ffmpeg (not in this container); "
         "PPM/PGM/BMP/PNG/baseline-JPEG decode natively")
@@ -433,8 +437,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         marker = buf[i + 1]
         if marker == 0xD9:                      # EOI
             break
-        if marker in (0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
-            i += 2                              # TEM / fill / stray RST
+        if marker == 0xFF:
+            # fill byte (T.81 B.1.1.2: any number of 0xFF fills may precede
+            # a marker code) — consume ONE byte so the real marker's
+            # leading 0xFF is still in place after an odd-length fill run
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2                              # TEM / stray RST
             continue
         if marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise NotImplementedError("progressive JPEG unsupported")
@@ -949,6 +959,12 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         cid = buf[i: i + 4]
         (ln,) = struct.unpack_from("<I", buf, i + 4)
         body = buf[i + 8: i + 8 + ln]
+        if len(body) < ln:
+            # a short chunk body means the payload was truncated — fail
+            # loudly (the shared corrupt-payload contract) instead of
+            # silently decoding a shorter waveform
+            raise ValueError(f"truncated WAV {cid!r} chunk "
+                             f"({len(body)} of {ln} bytes)")
         if cid == b"fmt ":
             if len(body) < 16:
                 raise ValueError("truncated WAV fmt chunk")

@@ -26,8 +26,12 @@ def _emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = t.column(col).combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    if n == 0:
+        # width is unknowable from an empty list column; callers guard on
+        # num_rows == 0 before any matmul against a non-degenerate side
+        return np.zeros((0, 0), dtype=np.float64)
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     return vals.reshape(n, -1)
 
 
@@ -81,7 +85,15 @@ def cosine_pairs(ds: ray.data.Dataset, threshold: float,
     tile — the reference's chunked all-pairs fit loop
     (selfclean_cleaner.py:121-135) distributed over the tile grid. Peak task
     memory is two blocks + one tile regardless of N; the emitted pair count
-    (not N^2) is what flows downstream."""
+    (not N^2) is what flows downstream.
+
+    Rounding boundary: the threshold applies to the UNROUNDED similarity
+    (matching the embedding_near_dup_pairs SQL oracle, which filters on raw
+    list_cosine_similarity) while the emitted cosine_sim column is rounded
+    to 1e-9; ivf_cosine_pairs thresholds the ROUNDED value (so its
+    trained=False bucketing is SQL-replayable). The two paths can therefore
+    disagree on pairs whose raw similarity lies within 0.5e-9 of the
+    threshold."""
     refs, idx_ds = _block_pair_index(ds, id_col, target_block_rows)
 
     def tile(t: pa.Table) -> pa.Table:
@@ -90,6 +102,8 @@ def cosine_pairs(ds: ray.data.Dataset, threshold: float,
                           t.column("bj").to_pylist()):
             ta = ray.get(refs[bi])
             tb = ta if bj == bi else ray.get(refs[bj])
+            if ta.num_rows == 0 or tb.num_rows == 0:
+                continue                 # empty input block (empty dataset)
             ids_a = ta.column(id_col).to_numpy(
                 zero_copy_only=False).astype(np.int64)
             ids_b = tb.column(id_col).to_numpy(
@@ -132,16 +146,16 @@ def pair_ranking(ds: ray.data.Dataset, id_col: str = "vec_id",
     with (id_a, id_b) tie-break replaces the condensed argsort
     (embedding_distance_mixin.py:41-83).
     """
-    from raydedup.registry import get_distance
-    kernel = get_distance(metric)
+    from raydedup.registry import get_dot_distance
+    kernel = get_dot_distance(metric)   # raises for kernels registered
+    # without a dot-product form — this plane only has precomputed
+    # similarities, not the vectors, so a vector-form-only kernel cannot
+    # be applied here (it would silently get wrong inputs)
     pairs = cosine_pairs(ds, threshold=-2.0, id_col=id_col)  # all pairs
 
     def to_dist(t: pa.Table) -> pa.Table:
         sim = t.column("cosine_sim").to_numpy(zero_copy_only=False)
-        # kernels operate on dot products of unit vectors: feed (n,1)x(1,1)
-        # identity trick — sim already IS the dot product
-        dot = np.clip(sim, -1.0, 1.0).reshape(-1, 1)
-        dist = _round9(kernel(dot, np.ones((1, 1)))).ravel()
+        dist = _round9(kernel(np.clip(sim, -1.0, 1.0)))
         return pa.table({"id_a": t.column("id_a"), "id_b": t.column("id_b"),
                          "distance": pa.array(dist, pa.float64())})
 
@@ -205,11 +219,16 @@ def approx_nn_ranking(ds: ray.data.Dataset, k: int = 5,
         m = min(kk, sims.shape[1])
         idx = np.lexsort(
             (np.broadcast_to(ids_cols, sims.shape), -sims), axis=1)[:, :m]
-        take = np.take_along_axis(sims, idx, axis=1)
+        take = np.take_along_axis(sims, idx, axis=1).ravel()
+        # drop the -2.0 fill_diagonal self-sentinel rows that survive the
+        # top-m when a seed has fewer than m real neighbors in this tile
+        # (same guard as the IVF path) — without it an N <= k corpus emits
+        # phantom self-neighbors at distance 2.0
+        keep = take > -2.0
         return pa.table({
-            "seed_idx": pa.array(np.repeat(ids_rows, m), pa.int64()),
-            "nn_idx": pa.array(ids_cols[idx.ravel()], pa.int64()),
-            "sim": pa.array(take.ravel(), pa.float64()),
+            "seed_idx": pa.array(np.repeat(ids_rows, m)[keep], pa.int64()),
+            "nn_idx": pa.array(ids_cols[idx.ravel()][keep], pa.int64()),
+            "sim": pa.array(take[keep], pa.float64()),
         })
 
     def tile(t: pa.Table) -> pa.Table:
@@ -218,6 +237,8 @@ def approx_nn_ranking(ds: ray.data.Dataset, k: int = 5,
                           t.column("bj").to_pylist()):
             ta = ray.get(refs[bi])
             tb = ta if bj == bi else ray.get(refs[bj])
+            if ta.num_rows == 0 or tb.num_rows == 0:
+                continue                 # empty input block (empty dataset)
             ids_a = ta.column(id_col).to_numpy(
                 zero_copy_only=False).astype(np.int64)
             ids_b = tb.column(id_col).to_numpy(
@@ -381,11 +402,12 @@ def _build_cells(ds: ray.data.Dataset, n_cells: int, seed: int,
     if n_cells <= 0:
         n_cells = max(1, min(256, int(round(np.sqrt(n / 4.0)))))
     n_cells = min(n_cells, max(1, n))
-    sample_tbl = pa.concat_tables(
+    batches = list(
         ds.select_columns(["embedding"]).limit(
             IVF_TRAIN_SAMPLE if trained else 1)
         .iter_batches(batch_format="pyarrow", batch_size=IVF_TRAIN_SAMPLE))
-    smat = _normalize(_emb_matrix(sample_tbl))
+    smat = _normalize(_emb_matrix(pa.concat_tables(batches))) if batches \
+        else np.zeros((0, 0))            # empty dataset: degenerate cells
     cents = _train_centroids(smat, n_cells, seed) if trained \
         else rp_centroids(n_cells, smat.shape[1], seed)
     return n_cells, cents
@@ -434,6 +456,10 @@ def _ivf_route(ds: ray.data.Dataset, id_col: str,
     bref = ray.put((cents, rev_flat, rev_offs, rev_counts))
 
     def route(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, "embedding"]) \
+                .append_column("grp", pa.array([], pa.int64())) \
+                .append_column("role", pa.array([], pa.int8()))
         cm, rflat, roffs, rcounts = ray.get(bref)
         # argmax of ROUNDED sims, first-max = lowest cell on ties
         cells = np.argmax(_round9(_normalize(_emb_matrix(t)) @ cm.T),
@@ -572,6 +598,10 @@ def semantic_dedup(ds: ray.data.Dataset, eps: float,
     cref = ray.put(cents)
 
     def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, "embedding"]) \
+                .append_column("cell", pa.array([], pa.int64())) \
+                .append_column("centroid_sim", pa.array([], pa.float64()))
         cm = ray.get(cref)
         sims = _round9(_normalize(_emb_matrix(t)) @ cm.T)
         cells = np.argmax(sims, axis=1)          # first-max = lowest cell
@@ -603,6 +633,25 @@ def semantic_dedup(ds: ray.data.Dataset, eps: float,
         .groupby("cell").map_groups(dedup_cell, batch_format="pyarrow")
 
 
+_KNN_EMPTY = pa.schema([("query_id", pa.int64()),
+                        ("neighbor_id", pa.int64()),
+                        ("cosine_sim", pa.float64())]).empty_table()
+
+
+def _make_reduce_topk(k: int):
+    """Per-query global top-k merge shared by knn_search and
+    ivf_knn_search: (sim desc, neighbor_id asc) order + rank column —
+    one definition so the tie-break can never diverge between the two."""
+    def reduce_topk(t: pa.Table) -> pa.Table:
+        sims = t.column("cosine_sim").to_numpy(zero_copy_only=False)
+        nid = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sims))[:k]
+        out = t.take(order)
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1), pa.int64()))
+    return reduce_topk
+
+
 def ivf_knn_search(ds: ray.data.Dataset, queries: np.ndarray,
                    query_ids: np.ndarray, k: int, n_cells: int = 64,
                    n_probe: int = 8, seed: int = 42,
@@ -619,16 +668,19 @@ def ivf_knn_search(ds: ray.data.Dataset, queries: np.ndarray,
     stays one map_batches + one small groupby(query) reduction, same shape
     as brute force but touching ~n_probe/n_cells of the dot products.
     """
-    sample_tbl = pa.concat_tables(
-        ds.select_columns(["embedding"]).limit(8192)
-        .iter_batches(batch_format="pyarrow", batch_size=8192))
-    cents = _train_centroids(_normalize(_emb_matrix(sample_tbl)),
-                             n_cells, seed)
+    batches = list(
+        ds.select_columns(["embedding"]).limit(IVF_TRAIN_SAMPLE)
+        .iter_batches(batch_format="pyarrow", batch_size=IVF_TRAIN_SAMPLE))
+    smat = _normalize(_emb_matrix(pa.concat_tables(batches))) if batches \
+        else _normalize(queries.astype(np.float64))  # empty corpus: any cells
+    cents = _train_centroids(smat, n_cells, seed)
     qn = _normalize(queries.astype(np.float64))
     q_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]   # (Q, n_probe)
     qref = ray.put((query_ids.astype(np.int64), qn, cents, q_cells))
 
     def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _KNN_EMPTY
         qids, qm, cm, qc = ray.get(qref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_emb_matrix(t))
@@ -647,25 +699,16 @@ def ivf_knn_search(ds: ray.data.Dataset, queries: np.ndarray,
             out_n.append(ids[sel])
             out_s.append(sims[idx])
         if not out_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "cosine_sim": pa.array([], pa.float64())})
+            return _KNN_EMPTY
         return pa.table({
             "query_id": pa.array(np.concatenate(out_q), pa.int64()),
             "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
             "cosine_sim": pa.array(np.concatenate(out_s), pa.float64()),
         })
 
-    def reduce_topk(t: pa.Table) -> pa.Table:
-        sims = t.column("cosine_sim").to_numpy(zero_copy_only=False)
-        nid = t.column("neighbor_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((nid, -sims))[:k]
-        out = t.take(order)
-        return out.append_column(
-            "rank", pa.array(np.arange(1, len(order) + 1), pa.int64()))
-
     return ds.map_batches(local_topk, batch_format="pyarrow") \
-        .groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
+        .groupby("query_id").map_groups(_make_reduce_topk(k),
+                                        batch_format="pyarrow")
 
 
 def knn_search(ds: ray.data.Dataset, queries: np.ndarray,
@@ -682,6 +725,8 @@ def knn_search(ds: ray.data.Dataset, queries: np.ndarray,
     qref = ray.put((query_ids.astype(np.int64), qn))
 
     def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _KNN_EMPTY
         qids, qm = ray.get(qref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_emb_matrix(t))
@@ -700,13 +745,6 @@ def knn_search(ds: ray.data.Dataset, queries: np.ndarray,
                 np.take_along_axis(sims, idx, axis=1).ravel(), pa.float64()),
         })
 
-    def reduce_topk(t: pa.Table) -> pa.Table:
-        sims = t.column("cosine_sim").to_numpy(zero_copy_only=False)
-        nid = t.column("neighbor_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((nid, -sims))[:k]
-        out = t.take(order)
-        return out.append_column(
-            "rank", pa.array(np.arange(1, len(order) + 1), pa.int64()))
-
     return ds.map_batches(local_topk, batch_format="pyarrow") \
-        .groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
+        .groupby("query_id").map_groups(_make_reduce_topk(k),
+                                        batch_format="pyarrow")

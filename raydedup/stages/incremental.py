@@ -203,12 +203,7 @@ def _filter_rep_ids(sigs: ray.data.Dataset, rep_ids: ray.data.Dataset,
 
         def keep(t: pa.Table) -> pa.Table:
             ids = t.column("id").to_numpy(zero_copy_only=False)
-            mask = np.zeros(len(ids), dtype=bool)
-            if len(id_set):
-                pos = np.clip(np.searchsorted(id_set, ids),
-                              0, len(id_set) - 1)
-                mask = id_set[pos] == ids
-            return t.filter(pa.array(mask))
+            return t.filter(pa.array(_in_sorted(id_set, ids)))
 
         return sigs.map_batches(keep, batch_format="pyarrow")
     return hash_join(sigs, rep_ids.rename_columns({"id": "rep_id"}),
@@ -269,9 +264,13 @@ def incremental_pairs(new_sigs: ray.data.Dataset,
     # copy of the signature table (same fix as the flagship — the shingle
     # payload dominates signature bytes, and verification reads it from
     # the unfiltered table since candidate pairs reference rep ids only)
+    # materialized: the lineage behind it (3-column scan of base+new sigs
+    # + rep-membership filter) is consumed twice below — once collecting
+    # the newside gkey set and once for the pruned explode — and the
+    # reps-only 3-column projection is far cheaper to hold than to rescan
     rep_band = _filter_rep_ids(
         all_sigs.select_columns(["id", "n_shingles", "minhash"]),
-        rep_ids, cfg)
+        rep_ids, cfg).materialize()
     # reps of groups containing a new doc (the "new side"; the rep itself
     # may be a base id when the group's min id is old)
     newside_rep_ids = C.run_minima(touched, "content_sha256") \

@@ -1,0 +1,131 @@
+"""Regression gates for the round-3 self-review findings: brute-NN
+self-sentinel leakage at N <= k, the pair-ranking kernel contract, empty
+embedding inputs, and three codec robustness holes (truncated WAV data
+chunk, odd JPEG fill runs, PNG zlib errors)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raydedup import codecs
+
+
+def _emb_table(mat: np.ndarray, ids=None) -> pa.Table:
+    ids = np.arange(len(mat), dtype=np.int64) if ids is None else ids
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in mat],
+                              pa.list_(pa.float32())),
+    })
+
+
+# ------------------------------------------------------------- embedding
+def test_approx_nn_small_corpus_no_self_rows(ray_session):
+    """N=3, k=5: every seed must emit exactly N-1 = 2 neighbors and no
+    self rows (the -2.0 fill_diagonal sentinel previously leaked through
+    the brute local_topk as phantom nn_idx == seed_idx at distance 2)."""
+    from raydedup.stages.embedding import approx_nn_ranking
+    mat = np.eye(3, dtype=np.float32)
+    out = approx_nn_ranking(rd.from_arrow(_emb_table(mat)), k=5).to_pandas()
+    assert len(out) == 6                         # 3 seeds x 2 real neighbors
+    assert (out.nn_idx != out.seed_idx).all()
+    assert (out.nn_dist < 2.0).all()             # sentinel dist would be 2.0
+    assert sorted(out.groupby("seed_idx")["rank"].max()) == [2, 2, 2]
+
+
+def test_approx_nn_small_corpus_ivf_brute_agree(ray_session):
+    from raydedup.stages.embedding import approx_nn_ranking
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((4, 8)).astype(np.float32)
+    ds = rd.from_arrow(_emb_table(mat))
+    brute = approx_nn_ranking(ds, k=9).to_pandas() \
+        .sort_values(["seed_idx", "rank"]).reset_index(drop=True)
+    ivf = approx_nn_ranking(ds, k=9, method="ivf", n_cells=1) \
+        .to_pandas().sort_values(["seed_idx", "rank"]).reset_index(drop=True)
+    # ids/ranks exact; distances to float tolerance (the IVF path rounds
+    # sims BEFORE the distance map, brute rounds the final distance)
+    for col in ("seed_idx", "rank", "nn_idx"):
+        assert brute[col].tolist() == ivf[col].tolist()
+    assert np.allclose(brute.nn_dist, ivf.nn_dist, atol=1e-8)
+
+
+def test_pair_ranking_kernel_contract(ray_session):
+    """pair_ranking applies kernels to PRECOMPUTED similarities, so a
+    kernel registered without a dot-product form must raise loudly rather
+    than silently computing garbage; one registered WITH from_dot works."""
+    from raydedup.registry import register_distance
+    from raydedup.stages.embedding import pair_ranking
+    mat = np.eye(3, dtype=np.float32)
+    ds = rd.from_arrow(_emb_table(mat, ids=np.array([1, 2, 3], np.int64)))
+
+    register_distance("vec_only", lambda a, b: np.abs(a @ b.T))
+    with pytest.raises(KeyError, match="dot-product form"):
+        pair_ranking(ds, metric="vec_only")
+
+    register_distance("one_minus", lambda a, b: 1.0 - a @ b.T,
+                      from_dot=lambda dot: 1.0 - dot)
+    out = pair_ranking(ds, metric="one_minus").to_pandas()
+    # orthogonal unit vectors: dot 0 -> distance 1 for all 3 pairs
+    assert len(out) == 3
+    assert np.allclose(out.distance, 1.0)
+
+
+def test_empty_embedding_dataset_ops(ray_session):
+    """Every embedding operator returns an empty result (not a reshape
+    crash) on an empty input dataset."""
+    from raydedup.stages.embedding import (approx_nn_ranking, cosine_pairs,
+                                           knn_search, semantic_dedup)
+    empty = rd.from_arrow(_emb_table(np.zeros((0, 4), dtype=np.float32)))
+    assert cosine_pairs(empty, threshold=0.5).count() == 0
+    assert approx_nn_ranking(empty, k=3).count() == 0
+    assert semantic_dedup(empty, eps=0.9).count() == 0
+    q = np.eye(2, 4, dtype=np.float32)
+    assert knn_search(empty, q, np.array([7, 8], np.int64), k=3).count() == 0
+
+
+# ---------------------------------------------------------------- codecs
+def test_wav_truncated_data_chunk_raises():
+    wave = (np.sin(np.linspace(0, 20, 400)) * 30000).astype(np.int16)
+    buf = codecs.encode_wav(wave, 8000)
+    assert np.allclose(codecs.decode_wav(buf)[0],
+                       wave.astype(np.float32) / 32768.0, atol=2e-4)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        codecs.decode_wav(buf[:-10])
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    an ODD run previously desynced the parser (it consumed fills two at a
+    time, eating the real marker's lead byte)."""
+    img = np.random.default_rng(11).integers(0, 256, (16, 16, 3),
+                                             dtype=np.uint8)
+    buf = codecs.encode_jpeg(img, 90)
+    base = codecs.decode_jpeg(buf)
+    for n_fill in (1, 2, 3):
+        padded = buf[:2] + b"\xff" * n_fill + buf[2:]
+        assert np.array_equal(codecs.decode_jpeg(padded), base)
+
+
+def test_png_bad_zlib_stream_raises_valueerror():
+    """IDAT with a valid CRC over an invalid deflate stream must raise
+    ValueError (the shared corrupt-payload contract), not zlib.error."""
+    import struct
+    import zlib
+
+    img = np.random.default_rng(4).integers(0, 256, (8, 8, 3),
+                                            dtype=np.uint8)
+    buf = bytearray(codecs.encode_png(img))
+    i = 8
+    while i < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, i)
+        ctype = bytes(buf[i + 4: i + 8])
+        if ctype == b"IDAT":
+            garbage = b"\x00" * ln        # not a valid zlib stream
+            buf[i + 8: i + 8 + ln] = garbage
+            struct.pack_into(">I", buf, i + 8 + ln,
+                             zlib.crc32(ctype + garbage) & 0xFFFFFFFF)
+            break
+        i += 12 + ln
+    with pytest.raises(ValueError, match="corrupt image/png"):
+        codecs.decode_image(bytes(buf), "image/png")
