@@ -147,11 +147,17 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                 return t.filter(pa.array(m if is_new else ~m))
             return fn
 
+        from raydedup.pipeline import _target_blocks
         _inc_ing = _ingest(rd.read_parquet(
             code_dir, columns=["repo", "path", "commit", "lang",
                                "content"])).materialize()
+        # size the base's blocks before signing — a file-per-block source
+        # would make the signature stage emit hundreds of ~200-row blocks
+        # whose per-task overhead then taxes every pair-plane pass
+        _base_blocks = _target_blocks(int(_inc_ing.count() * 0.9), num_cpus)
         inc_base_sigs = _sigs(
-            _inc_ing.map_batches(_inc_part(False), batch_format="pyarrow"),
+            _inc_ing.map_batches(_inc_part(False), batch_format="pyarrow")
+            .repartition(_base_blocks),
             cfg).materialize()
         inc_new_files = _inc_ing.map_batches(
             _inc_part(True), batch_format="pyarrow") \
