@@ -100,6 +100,11 @@ def _q_token_counts(sf_dir: str):
     return token_counts(_documents(sf_dir))
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    from raydedup.stages.textstats import bpe_token_counts
+    return bpe_token_counts(_documents(sf_dir))
+
+
 def _q_quality_scores(sf_dir: str):
     from raydedup.stages.textstats import quality_scores
     return quality_scores(_documents(sf_dir))
@@ -655,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_counts_by_lang": _q_doc_counts_by_lang,
         "top_longest_docs": _q_top_longest_docs,
         "token_counts": _q_token_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
         "lang_id": _q_lang_id,
@@ -1054,6 +1060,27 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_tokens
             FROM documents
         """,
+        # GENERATED from the engine's BPE_PRETOKEN_PATTERN constant (single
+        # source of truth): DuckDB's regexp_extract_all is the same RE2
+        # engine with the same leftmost-first alternation as the
+        # pyarrow.compute kernel the engine runs, so the counts are exact.
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{bpe_pat}')) AS n_bpe_tokens,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_ws_tokens,
+                   CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                              END) > 0
+                        THEN len(regexp_extract_all(text, '{bpe_pat}'))
+                             / CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                                    AS DOUBLE)
+                        ELSE 0.0 END AS bpe_per_word
+            FROM documents
+        """.format(bpe_pat=__import__(
+            "raydedup.stages.textstats", fromlist=["BPE_PRETOKEN_PATTERN"]
+        ).BPE_PRETOKEN_PATTERN.replace("'", "''")),
         "quality_scores": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -105,6 +105,51 @@ def token_counts(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# BPE-style pre-tokenizer (GPT-2 family, Radford et al. 2019 "Language
+# Models are Unsupervised Multitask Learners", public pattern) minus the
+# trailing-whitespace lookahead, which RE2 does not support: contraction
+# suffixes, optional-space letter runs, optional-space digit runs,
+# optional-space punctuation runs, whitespace runs. RE2-compatible so the
+# SAME pattern string runs vectorized in pyarrow.compute (C++ RE2) and in
+# the DuckDB oracle (also RE2) — leftmost-first alternation in both.
+BPE_PRETOKEN_PATTERN = \
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_counts(ds: ray.data.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id") -> ray.data.Dataset:
+    """-> (doc_id, n_bpe_tokens, n_ws_tokens, bpe_per_word).
+
+    Subword-granularity token counting for training-data budgeting (task
+    brief: "token counting (whitespace + a BPE-ish regex)"): n_bpe_tokens
+    counts BPE_PRETOKEN_PATTERN matches (the GPT-2 pre-tokenizer's
+    segmentation, whose pieces are what a BPE merge table would split
+    further), n_ws_tokens is the whitespace-token count (same rule as
+    token_counts), and bpe_per_word = n_bpe_tokens / n_ws_tokens is the
+    fertility-style ratio. One vectorized RE2 scan per batch
+    (pc.count_substring_regex), no shuffle — embarrassingly parallel over
+    blocks at any scale. The SQL oracle runs the identical pattern through
+    DuckDB's RE2 (len(regexp_extract_all(...))) and the identical IEEE
+    division, so the match is exact."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        nbpe = pc.cast(pc.count_substring_regex(
+            s, BPE_PRETOKEN_PATTERN), pa.int64())
+        nws = _ntokens(s if isinstance(s, pa.Array) else s.combine_chunks())
+        nbpe_np = nbpe.to_numpy(zero_copy_only=False)
+        ratio = np.where(nws > 0,
+                         nbpe_np / np.maximum(nws, 1).astype(np.float64), 0.0)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_bpe_tokens": nbpe,
+            "n_ws_tokens": pa.array(nws, pa.int64()),
+            "bpe_per_word": pa.array(ratio, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def quality_scores(ds: ray.data.Dataset, text_col: str = "text",
                    id_col: str = "doc_id") -> ray.data.Dataset:
     """-> (doc_id, n_chars, alpha_chars, digit_chars, ws_chars, alpha_ratio).

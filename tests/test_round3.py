@@ -840,3 +840,38 @@ def test_segmented_intersection_sizes2_two_spaces():
     two = K.segmented_intersection_sizes2(flat, offs, ia,
                                           flat_b, offs_b, pos_b[ib])
     assert (one == want).all() and (two == want).all()
+
+
+def test_bpe_token_counts_matches_duckdb_oracle():
+    """The engine's pyarrow RE2 count of BPE_PRETOKEN_PATTERN matches
+    DuckDB's regexp_extract_all of the SAME pattern string on adversarial
+    inputs (contractions, unicode letters/punct, digit runs, whitespace
+    runs, empty/whitespace-only docs), and the whitespace-token column
+    matches token_counts' rule."""
+    import duckdb
+
+    from raydedup.stages.textstats import (BPE_PRETOKEN_PATTERN,
+                                           bpe_token_counts)
+
+    texts = ["Hello world", "it's  a test\n\tdon't", "naïve café über 123",
+             "¿qué? — «okay»", "", "   ", "a'sb", "42x7", " 'll",
+             "日本語のテキスト", "mixed 日本 text ©2024 #tag", "'s's's",
+             "end  ", "def f(x):\n    return x*2  # comment"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = bpe_token_counts(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    pat_sql = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT len(regexp_extract_all(t, '{pat_sql}')) AS n_bpe,
+               CASE WHEN trim(t) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(t), '\\s+'))
+               END AS n_ws
+        FROM (SELECT unnest(?) AS t)""", [texts]).fetchall()
+    assert got.n_bpe_tokens.tolist() == [r[0] for r in want]
+    assert got.n_ws_tokens.tolist() == [r[1] for r in want]
+    exp_ratio = [r[0] / r[1] if r[1] > 0 else 0.0 for r in want]
+    assert got.bpe_per_word.tolist() == exp_ratio
