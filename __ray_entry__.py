@@ -208,6 +208,14 @@ def _q_near_dedup_keep_list(sf_dir: str):
     return keep_representatives(res.clusters)
 
 
+def _q_dedup_summary(sf_dir: str):
+    """Corpus-level one-row dedup report over the flagship outputs."""
+    from raydedup.issues import dedup_summary
+    from raydedup.pipeline import run_pipeline
+    res = run_pipeline(_docs_as_code(sf_dir))
+    return dedup_summary(res)
+
+
 def _q_duplicity_ranking(sf_dir: str):
     from raydedup.pipeline import run_pipeline
     from raydedup.stages.rank import duplicity_ranking
@@ -670,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "dup_clusters": _q_dup_clusters,
         "near_dedup_keep_list": _q_near_dedup_keep_list,
+        "dedup_summary": _q_dedup_summary,
         "duplicity_ranking": _q_duplicity_ranking,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "label_error_candidates": _q_label_error_candidates,
@@ -1407,6 +1416,28 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_keep_list": f"""
             WITH RECURSIVE {_CC_CTES}
             SELECT id FROM allc WHERE id = cluster_id
+        """,
+        # one-row corpus report; sha256-equality == text-equality (same
+        # premise as exact_dup_groups); dist_p is the same pair universe
+        # the engine's distance_pairs filter keeps
+        "dedup_summary": f"""
+            WITH RECURSIVE {_CC_CTES}, csz AS (
+              SELECT cluster_id, count(*) AS n FROM allc GROUP BY cluster_id
+            ), exg AS (
+              SELECT count(*) AS g, coalesce(sum(n), 0) AS d FROM (
+                SELECT count(*) AS n FROM documents
+                GROUP BY text HAVING count(*) > 1)
+            )
+            SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+                   CAST((SELECT d FROM exg) AS BIGINT) AS n_exact_dup_docs,
+                   CAST((SELECT g FROM exg) AS BIGINT) AS n_exact_dup_groups,
+                   CAST((SELECT count(*) FROM dist_p) AS BIGINT) AS n_dup_pairs,
+                   CAST((SELECT count(*) FROM csz) AS BIGINT) AS n_clusters,
+                   CAST((SELECT count(*) FROM csz WHERE n > 1) AS BIGINT)
+                       AS n_multi_clusters,
+                   CAST((SELECT count(*) FROM documents)
+                        - (SELECT count(*) FROM csz) AS BIGINT)
+                       AS n_docs_removed
         """,
         "duplicity_ranking": f"""
             WITH RECURSIVE {_CC_CTES}, csizes AS (

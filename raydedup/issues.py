@@ -88,3 +88,55 @@ class DedupResult:
                                  (f"lang{suffix}", pa.string())])
         return hash_join(ds, meta, on=id_col, right_on="id",
                          num_partitions=8, right_schema=meta_schema)
+
+
+def dedup_summary(res: DedupResult) -> "object":
+    """One-row corpus-level dedup report — the numbers an operator reads
+    before acting on a run: document count, exact-duplicate exposure,
+    verified duplicate pairs, cluster structure, and how many documents the
+    keep-list dedup would remove.
+
+    Scale shape: every statistic is a distributed aggregate over fixed-width
+    columns — cluster sizes via one groupby(cluster_id), exact-dup exposure
+    via one groupby(content_sha256) over the SIGNATURE table (never touches
+    content), pair count via a filtered count. Only the seven final scalars
+    reach the driver. Returns a pyarrow.Table with one row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from raydedup.stages.verify import distance_pairs
+
+    def _gt1(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n"), pa.scalar(1)))
+
+    n_docs = res.clusters.count()
+    sizes = res.clusters.groupby("cluster_id").aggregate(
+        Count(alias_name="n"))
+    n_clusters = sizes.count()
+    n_multi = sizes.map_batches(_gt1, batch_format="pyarrow").count()
+    n_dup_pairs = distance_pairs(res.verified_pairs).count()
+
+    dup_groups = res.signatures.select_columns(["content_sha256"]) \
+        .groupby("content_sha256").aggregate(Count(alias_name="n")) \
+        .map_batches(_gt1, batch_format="pyarrow")
+
+    def _part(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array([len(n)], pa.int64()),
+                         "d": pa.array([int(n.sum())], pa.int64())})
+
+    agg = dup_groups.map_batches(_part, batch_format="pyarrow").aggregate(
+        Sum("g", alias_name="g"), Sum("d", alias_name="d"))
+    n_exact_groups = int(agg["g"] or 0) if agg else 0
+    n_exact_dup_docs = int(agg["d"] or 0) if agg else 0
+
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_exact_dup_docs": pa.array([n_exact_dup_docs], pa.int64()),
+        "n_exact_dup_groups": pa.array([n_exact_groups], pa.int64()),
+        "n_dup_pairs": pa.array([n_dup_pairs], pa.int64()),
+        "n_clusters": pa.array([n_clusters], pa.int64()),
+        "n_multi_clusters": pa.array([n_multi], pa.int64()),
+        "n_docs_removed": pa.array([n_docs - n_clusters], pa.int64()),
+    })

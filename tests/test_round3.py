@@ -875,3 +875,29 @@ def test_bpe_token_counts_matches_duckdb_oracle():
     assert got.n_ws_tokens.tolist() == [r[1] for r in want]
     exp_ratio = [r[0] / r[1] if r[1] > 0 else 0.0 for r in want]
     assert got.bpe_per_word.tolist() == exp_ratio
+
+
+def test_dedup_summary_matches_pandas_recount(tiny_result):
+    """dedup_summary's seven scalars recomputed from the same result's
+    datasets with pandas — an independent path through every statistic."""
+    from raydedup.issues import dedup_summary
+
+    res, _ = tiny_result
+    row = dedup_summary(res).to_pylist()[0]
+
+    cl = res.clusters.to_pandas()
+    vp = res.verified_pairs.to_pandas()
+    sh = res.signatures.to_pandas()[["content_sha256"]]
+
+    sizes = cl.groupby("cluster_id").size()
+    exact = sh.groupby("content_sha256").size()
+    exact = exact[exact > 1]
+    assert row["n_docs"] == len(cl)
+    assert row["n_clusters"] == len(sizes)
+    assert row["n_multi_clusters"] == int((sizes > 1).sum())
+    assert row["n_dup_pairs"] == int((vp.match_kind != "substring").sum())
+    assert row["n_exact_dup_groups"] == len(exact)
+    assert row["n_exact_dup_docs"] == int(exact.sum())
+    assert row["n_docs_removed"] == len(cl) - len(sizes)
+    # the planted tiny corpus contains real duplicates — non-vacuous
+    assert row["n_dup_pairs"] > 0 and row["n_multi_clusters"] > 0
