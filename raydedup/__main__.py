@@ -152,6 +152,11 @@ def main(argv: list[str] | None = None) -> int:
         if name == ("new_signatures" if args.base_sigs is not None
                     else "clusters"):
             n_rows = cnt
+    if args.base_sigs is None and res.clusters is not None \
+            and res.verified_pairs is not None:
+        # one-row corpus report (operator-facing headline numbers)
+        from raydedup.issues import dedup_summary
+        metrics["summary"] = dedup_summary(res).to_pylist()[0]
     wall = time.perf_counter() - t0
     metrics["wall_secs"] = round(wall, 3)
     if n_rows:

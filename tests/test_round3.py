@@ -629,6 +629,11 @@ def test_job_entrypoint_writes_surfaces_and_metrics(tmp_path):
     kl = pq.read_table(str(out / "keep_list"))
     assert sorted(kl.column("id").to_pylist()) == sorted(
         set(cl.column("cluster_id").to_pylist()))
+    # one-row corpus report in the metrics, consistent with the surfaces
+    s = metrics["summary"]
+    assert s["n_docs"] == cl.num_rows
+    assert s["n_clusters"] == kl.num_rows
+    assert s["n_docs_removed"] == cl.num_rows - kl.num_rows
 
 
 def test_job_entrypoint_incremental_mode(tmp_path):
