@@ -187,6 +187,7 @@ class CheckpointManager:
                           num_parts: int,
                           chunk_parts: Optional[int] = None,
                           key_col: str = "id",
+                          empty_schema=None,
                           ) -> ray.data.Dataset:
         """Partition-granular checkpoint (north_star "checkpoints
         per-partition signatures ... so the pipeline resumes mid-shuffle"):
@@ -212,11 +213,26 @@ class CheckpointManager:
         for c in range(0, len(missing), step):
             chunk = missing[c:c + step]
             self._run_part_chunk(name, pre, fn, num_parts, chunk, key_col)
-        ds = ray.data.read_parquet(out, file_extensions=["parquet"])
-        drop = [col for col in (ds.schema().names if ds.schema() else [])
-                if col == "ckpt_part"]
-        if drop:
-            ds = ds.drop_columns(drop)
+        # a stage may legitimately produce ZERO rows (e.g. a corpus with no
+        # candidate pairs): every ckpt_part dir is then committed empty and
+        # read_parquet on a parquet-file-less tree raises — fall back to a
+        # typed-empty Dataset so the (already-committed) markers keep the
+        # resume contract
+        import glob as _glob
+        have_files = bool(_glob.glob(
+            os.path.join(out, "ckpt_part=*", "*.parquet")))
+        if have_files:
+            ds = ray.data.read_parquet(out, file_extensions=["parquet"])
+            drop = [col for col in (ds.schema().names if ds.schema() else [])
+                    if col == "ckpt_part"]
+            if drop:
+                ds = ds.drop_columns(drop)
+        elif empty_schema is not None:
+            ds = ray.data.from_arrow(empty_schema.empty_table())
+        else:
+            raise ValueError(
+                f"partitioned stage {name!r} produced no rows and no "
+                f"empty_schema was provided for the typed-empty fallback")
         if not os.path.exists(self._manifest(name)):
             rows = ds.count()
             wall = 0.0
@@ -265,6 +281,8 @@ class CheckpointManager:
         shutil.rmtree(tmp, ignore_errors=True)
         result.write_parquet(tmp, partition_cols=["ckpt_part"])
         wall = time.perf_counter() - t0
+        # a zero-row result writes nothing, not even the directory
+        os.makedirs(tmp, exist_ok=True)
         written = {d for d in os.listdir(tmp) if d.startswith("ckpt_part=")}
         for i in chunk:
             sub = f"ckpt_part={i}"

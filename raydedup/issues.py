@@ -45,6 +45,9 @@ class DedupResult:
     duplicity: Optional[ray.data.Dataset] = None
     label_errors: Optional[ray.data.Dataset] = None
     extra: dict = field(default_factory=dict)
+    # engine config of the producing run (threads join_num_partitions etc.
+    # into the export joins); None for hand-assembled results
+    cfg: Optional[object] = None
 
     def get_issues(self, issue_type: IssueType | str,
                    with_metadata: bool = False) -> ray.data.Dataset:
@@ -62,6 +65,8 @@ class DedupResult:
         if t == IssueType.OFF_TOPIC:
             from raydedup.stages.rank import off_topic_ranking
             out = self.duplicity
+            if out is None:           # stage not run: behave like the other
+                return None           # branches instead of raising
             if with_metadata:
                 out = self._join_meta(out, "id", "")
             return off_topic_ranking(out)
@@ -86,8 +91,9 @@ class DedupResult:
                                  (f"repo{suffix}", pa.string()),
                                  (f"path{suffix}", pa.string()),
                                  (f"lang{suffix}", pa.string())])
+        nparts = getattr(self.cfg, "join_num_partitions", None) or 8
         return hash_join(ds, meta, on=id_col, right_on="id",
-                         num_partitions=8, right_schema=meta_schema)
+                         num_partitions=nparts, right_schema=meta_schema)
 
 
 def dedup_summary(res: DedupResult) -> "object":
@@ -111,8 +117,10 @@ def dedup_summary(res: DedupResult) -> "object":
         return t.filter(pc.greater(t.column("n"), pa.scalar(1)))
 
     n_docs = res.clusters.count()
+    # materialize: three consumers below (count, filtered count) would each
+    # re-run the groupby shuffle on the lazy plan otherwise
     sizes = res.clusters.groupby("cluster_id").aggregate(
-        Count(alias_name="n"))
+        Count(alias_name="n")).materialize()
     n_clusters = sizes.count()
     n_multi = sizes.map_batches(_gt1, batch_format="pyarrow").count()
     n_dup_pairs = distance_pairs(res.verified_pairs).count()

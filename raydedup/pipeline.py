@@ -218,11 +218,13 @@ def run_pipeline(code_files: ray.data.Dataset,
         # without it a checkpointed run feeds the signature stage the read
         # stage's hundreds of near-empty blocks (the measured per-task-
         # overhead regression the non-ckpt comment below documents)
+        from raydedup.schema import SIGNATURES
         sigs = ckpt.partitioned_stage(
             "signatures",
             lambda: I.ingest(_sized),
             lambda ds: _with_part(S.compute_signatures(ds, cfg)),
-            num_parts=P, chunk_parts=cfg.ckpt_chunk_parts)
+            num_parts=P, chunk_parts=cfg.ckpt_chunk_parts,
+            empty_schema=SIGNATURES)
         _lap("signatures")
     else:
         # repartition the raw content BEFORE the signature stage rather than
@@ -282,7 +284,8 @@ def run_pipeline(code_files: ray.data.Dataset,
             # representative ids only, and verify filters to pair members
             lambda ds: _with_pair_part(V.verify_pairs(ds, sigs, cfg)),
             num_parts=P, chunk_parts=cfg.ckpt_chunk_parts,
-            key_col="ckpt_key")
+            key_col="ckpt_key",
+            empty_schema=pa.schema(V.VERIFIED_FIELDS))
         _lap("verified_rep_pairs")
         verified = staged("verified_pairs", lambda: exact_pairs.union(
             expand_to_members(rep_verified, sha_sort, cfg)))
@@ -294,7 +297,8 @@ def run_pipeline(code_files: ray.data.Dataset,
                                sigs, cfg),
                 sha_sort, cfg)))
 
-    result = DedupResult(ingested=I.ingest(code_files), signatures=sigs,
+    result = DedupResult(cfg=cfg,
+                         ingested=I.ingest(code_files), signatures=sigs,
                          verified_pairs=verified)
     # substring/containment matches are kept in verified_pairs as their own
     # surface, but they are NOT distance-metric pairs (their Jaccard distance

@@ -132,6 +132,16 @@ def _cc_distributed(edges: ray.data.Dataset, cfg: EngineConfig) -> ray.data.Data
         labels = new_labels.select_columns(["id", "label"]).materialize()
         if not changed:
             break
+    else:
+        # exhausting the iteration budget without convergence means the
+        # labels are WRONG (one true component reported as several) — say so
+        # loudly instead of silently under-merging ("no silent caps")
+        import logging
+        logging.getLogger(__name__).warning(
+            "connected_components: hash-min propagation did NOT converge "
+            "within cc_max_iters=%d (last round still changed %s labels); "
+            "component labels are under-merged — raise cfg.cc_max_iters",
+            cfg.cc_max_iters, changed)
     return labels
 
 

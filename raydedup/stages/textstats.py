@@ -343,11 +343,28 @@ def corpus_stats_by_lang(ds: ray.data.Dataset, text_col: str = "text",
             .to_numpy(zero_copy_only=False)
         alpha = pc.cast(pc.count_substring_regex(s, "[A-Za-z]"), pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        langs = np.asarray(t.column(lang_col).to_pylist(), dtype=object)
-        uniq, inv = np.unique(langs, return_inverse=True)
-        k = len(uniq)
+        # dictionary-encode the lang column so a null lang forms its own
+        # group (SQL GROUP BY semantics) instead of crashing np.unique's
+        # object sort on None-vs-str comparisons
+        col = t.column(lang_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.cast(pa.string())
+        enc = col.dictionary_encode()
+        uniq_vals = enc.dictionary.to_pylist()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        k = len(uniq_vals)
+        if not valid.all():
+            inv = np.where(valid, np.nan_to_num(
+                idx.astype(np.float64), nan=0.0).astype(np.int64), k)
+            uniq = uniq_vals + [None]
+            k += 1
+        else:
+            inv = idx.astype(np.int64)
+            uniq = uniq_vals
         return pa.table({
-            lang_col: pa.array(uniq.tolist(), pa.string()),
+            lang_col: pa.array(uniq, pa.string()),
             "n_docs": pa.array(np.bincount(inv, minlength=k), pa.int64()),
             "sum_tokens": pa.array(
                 np.bincount(inv, weights=ntok, minlength=k).astype(np.int64),

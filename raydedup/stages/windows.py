@@ -124,16 +124,19 @@ def session_windows(events: ray.data.Dataset, gap_s: int,
 
     def interior(t: pa.Table) -> pa.Table:
         k, ts, starts, ends = _runs_of(t)
+        ktype = t.schema.field(key).type
         if len(starts) <= 2:
             return _sessionize_wrapped(np.empty(0, np.int64),
-                                       np.empty(0, np.int64), gap_s, key)
+                                       np.empty(0, np.int64), gap_s, key,
+                                       key_type=ktype)
         lo, hi = starts[1], ends[-2]
-        return _sessionize_wrapped(k[lo:hi], ts[lo:hi], gap_s, key)
+        return _sessionize_wrapped(k[lo:hi], ts[lo:hi], gap_s, key,
+                                   key_type=ktype)
 
     def boundary(t: pa.Table) -> pa.Table:
         k, ts, starts, ends = _runs_of(t)
         if len(starts) == 0:
-            return pa.table({key: pa.array([], pa.int64()),
+            return pa.table({key: pa.array([], t.schema.field(key).type),
                              "_ts_s": pa.array([], pa.int64())})
         take = np.r_[np.arange(starts[0], ends[0]),
                      np.arange(starts[-1], ends[-1])] if len(starts) > 1 \
@@ -153,8 +156,10 @@ def session_windows(events: ray.data.Dataset, gap_s: int,
             st.column(key).to_numpy(zero_copy_only=False),
             st.column("_ts_s").to_numpy(zero_copy_only=False), gap_s, key))
     elif btbl is not None:
+        ktype = dict(zip(srt.schema().names, srt.schema().types))[key]
         bout = ray.data.from_arrow(_sessionize_wrapped(
-            np.empty(0, np.int64), np.empty(0, np.int64), gap_s, key))
+            np.empty(0, np.int64), np.empty(0, np.int64), gap_s, key,
+            key_type=ktype))
     else:
         def per_group(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values("_ts_s")
@@ -168,9 +173,11 @@ def session_windows(events: ray.data.Dataset, gap_s: int,
 
 
 def _sessionize_wrapped(uid: np.ndarray, ts: np.ndarray, gap_s: int,
-                        key: str) -> pa.Table:
+                        key: str, key_type=None) -> pa.Table:
     if len(ts) == 0:
-        return pa.table({key: pa.array([], pa.int64()),
+        # empty blocks must carry the key column's REAL type — an int64
+        # default makes block schemas disagree for string-keyed sessions
+        return pa.table({key: pa.array([], key_type or pa.int64()),
                          "session_start": pa.array([], pa.int64()),
                          "session_end": pa.array([], pa.int64()),
                          "n_events": pa.array([], pa.int64())})

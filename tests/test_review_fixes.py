@@ -129,3 +129,121 @@ def test_png_bad_zlib_stream_raises_valueerror():
         i += 12 + ln
     with pytest.raises(ValueError, match="corrupt image/png"):
         codecs.decode_image(bytes(buf), "image/png")
+
+
+# ---------------------------------------------- round-3 follow-up review
+
+def test_partitioned_stage_zero_rows_returns_typed_empty(tmp_path):
+    """A stage that legitimately produces ZERO rows (e.g. no candidate
+    pairs anywhere) must return a typed-empty Dataset and resume cleanly —
+    read_parquet on a parquet-file-less tree raised before."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.checkpoint import CheckpointManager
+
+    tbl = pa.table({"id": pa.array(range(50), pa.int64()),
+                    "v": pa.array(range(50), pa.int64())})
+    schema = pa.schema([("id", pa.int64()), ("v", pa.int64())])
+
+    def pre():
+        return rd.from_arrow(tbl)
+
+    def drop_all(ds):
+        return ds.filter(lambda r: False)
+
+    root = str(tmp_path / "ck")
+    ck = CheckpointManager(root=root, cfg_hash="h", input_token="t")
+    out = ck.partitioned_stage("empty", pre, drop_all, num_parts=4,
+                               empty_schema=schema)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"id", "v"}
+    # resume (markers committed): must not crash either
+    ck2 = CheckpointManager(root=root, cfg_hash="h", input_token="t")
+    out2 = ck2.partitioned_stage("empty", pre, drop_all, num_parts=4,
+                                 empty_schema=schema)
+    assert out2.count() == 0
+
+
+def test_corpus_stats_by_lang_null_lang_is_its_own_group():
+    """A null lang value forms its own group (SQL GROUP BY semantics)
+    instead of crashing np.unique's object sort."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.textstats import corpus_stats_by_lang
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["hello world", "bonjour le monde", "hi"],
+                         pa.string()),
+        "lang": pa.array(["en", None, "en"], pa.string())}))
+    df = corpus_stats_by_lang(ds).to_pandas()
+    assert len(df) == 2
+    en = df[df.lang == "en"].iloc[0]
+    assert en.n_docs == 2 and en.total_tokens == 3
+    nul = df[df.lang.isna()].iloc[0]
+    assert nul.n_docs == 1 and nul.total_tokens == 3
+
+
+def test_session_windows_string_key_schema_consistent():
+    """String-keyed session windows: every output block (including the
+    empty interior/boundary ones) carries the key at its REAL type, so the
+    union has ONE schema and consumers don't see int64-vs-string blocks."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.windows import session_windows
+
+    n = 40
+    ts = [(i // 2) * 3_000_000 for i in range(n)]     # alternating devices
+    dev = [f"d{i % 2}" for i in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "device_id": pa.array(dev, pa.string()),
+        "ts": pa.array(ts, pa.int64())})).repartition(5)
+    out = session_windows(ds, gap_s=10, key="device_id")
+    want = pa.schema([("device_id", pa.string()),
+                      ("session_start", pa.int64()),
+                      ("session_end", pa.int64()),
+                      ("n_events", pa.int64())])
+    parts = list(out.iter_batches(batch_format="pyarrow",
+                                  batch_size=1 << 16))
+    for p in parts:                 # every block: the REAL key type
+        assert p.schema.equals(want), p.schema
+    tbl = pa.concat_tables(parts)
+    df = tbl.to_pandas().sort_values(["device_id", "session_start"])
+    # 1.5s spacing per device, gap 10s -> one session per device
+    assert len(df) == 2
+    assert set(df.device_id) == {"d0", "d1"}
+    assert (df.n_events == 20).all()
+
+
+def test_get_issues_off_topic_none_graceful():
+    """get_issues(OFF_TOPIC) returns None (like the other branches) when
+    the duplicity stage was not run, instead of raising AttributeError."""
+    from raydedup.issues import DedupResult, IssueType
+
+    res = DedupResult(ingested=None, signatures=None)
+    assert res.get_issues(IssueType.OFF_TOPIC) is None
+    assert res.get_issues(IssueType.NEAR_DUPLICATES) is None
+
+
+def test_cc_distributed_warns_on_iteration_exhaustion(caplog):
+    """Exhausting cc_max_iters without convergence logs a warning instead
+    of silently returning under-merged labels."""
+    import dataclasses
+    import logging
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.config import EngineConfig
+    from raydedup.stages.cluster import _cc_distributed
+
+    # a 64-node chain cannot converge in one round of min + one halving
+    edges = rd.from_arrow(pa.table({
+        "id_a": pa.array(range(63), pa.int64()),
+        "id_b": pa.array(range(1, 64), pa.int64())}))
+    cfg = dataclasses.replace(EngineConfig(), cc_max_iters=1)
+    with caplog.at_level(logging.WARNING, logger="raydedup.stages.cluster"):
+        _cc_distributed(edges, cfg)
+    assert any("did NOT converge" in r.message for r in caplog.records)
