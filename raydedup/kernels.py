@@ -719,12 +719,20 @@ def simhash64(shingles: np.ndarray, sh_offsets: np.ndarray) -> np.ndarray:
     offs = sh_offsets[:-1].astype(np.int64)
     counts = (sh_offsets[1:] - sh_offsets[:-1]).astype(np.int64)
     nonempty = counts > 0
-    sums = np.add.reduceat(bits, np.minimum(offs, len(bits) - 1), axis=0,
-                           dtype=np.int64)
-    maj = (2 * sums) > counts[:, None]
+    ne = np.nonzero(nonempty)[0]
+    if len(ne) == 0:
+        return out
+    # reduceat over NONEMPTY segment starts only: empty segments occupy zero
+    # flat rows, so consecutive nonempty starts exactly tile `bits` (strictly
+    # increasing, first start 0, last segment runs to the end). Clamping ALL
+    # starts into range instead (the previous approach) shifted a trailing
+    # empty doc's boundary from S to S-1 and stole the final shingle row out
+    # of the preceding doc's bit-vote segment.
+    sums = np.add.reduceat(bits, offs[ne], axis=0, dtype=np.int64)
+    maj = (2 * sums) > counts[ne, None]
     vals = np.packbits(maj, axis=1, bitorder="little").copy() \
         .view("<u8").ravel().astype(U64)
-    out[nonempty] = vals[nonempty]
+    out[ne] = vals
     return out
 
 

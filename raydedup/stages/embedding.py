@@ -24,8 +24,6 @@ import ray.data
 
 def _emb_matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = t.column(col).combine_chunks()
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
     n = len(arr)
     if n == 0:
         # width is unknowable from an empty list column; callers guard on
@@ -73,6 +71,48 @@ def _block_pair_index(ds: ray.data.Dataset, id_col: str,
     return refs, idx_ds
 
 
+def _iter_block_tiles(t: pa.Table, refs, id_col: str):
+    """Shared block-pair tile preamble: for each (bi, bj) row of a tile
+    index table, fetch the two blocks from the object store, extract ids,
+    normalize, matmul — yield (is_diag, ids_a, ids_b, sims) with sims the
+    RAW (unrounded) cosine matrix. Empty blocks are skipped. Keeps the
+    self-exclusion/rounding determinism contract of every consumer anchored
+    to ONE preamble."""
+    for bi, bj in zip(t.column("bi").to_pylist(),
+                      t.column("bj").to_pylist()):
+        ta = ray.get(refs[bi])
+        tb = ta if bj == bi else ray.get(refs[bj])
+        if ta.num_rows == 0 or tb.num_rows == 0:
+            continue                 # empty input block (empty dataset)
+        ids_a = ta.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids_b = ids_a if bj == bi else tb.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m_a = _normalize(_emb_matrix(ta))
+        m_b = m_a if bj == bi else _normalize(_emb_matrix(tb))
+        yield bi == bj, ids_a, ids_b, m_a @ m_b.T
+
+
+def _cell_sims(t: pa.Table, id_col: str):
+    """Shared routed-cell tile preamble: split one cell's rows into seeds
+    (role 0) vs candidates (role 1) and return (ids_s, ids_c, sims) with
+    sims ROUNDED (1e-9) and self-pairs masked to -2.0 — or None when the
+    cell lacks either role."""
+    role = t.column("role").to_numpy(zero_copy_only=False)
+    s_mask, c_mask = role == 0, role == 1
+    if not s_mask.any() or not c_mask.any():
+        return None
+    st, ct = t.filter(pa.array(s_mask)), t.filter(pa.array(c_mask))
+    ids_s = st.column(id_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ids_c = ct.column(id_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sims = _round9(
+        _normalize(_emb_matrix(st)) @ _normalize(_emb_matrix(ct)).T)
+    sims[ids_s[:, None] == ids_c[None, :]] = -2.0     # exclude self
+    return ids_s, ids_c, sims
+
+
 def cosine_pairs(ds: ray.data.Dataset, threshold: float,
                  id_col: str = "vec_id",
                  target_block_rows: int = PAIR_BLOCK_ROWS
@@ -98,25 +138,12 @@ def cosine_pairs(ds: ray.data.Dataset, threshold: float,
 
     def tile(t: pa.Table) -> pa.Table:
         outs = []
-        for bi, bj in zip(t.column("bi").to_pylist(),
-                          t.column("bj").to_pylist()):
-            ta = ray.get(refs[bi])
-            tb = ta if bj == bi else ray.get(refs[bj])
-            if ta.num_rows == 0 or tb.num_rows == 0:
-                continue                 # empty input block (empty dataset)
-            ids_a = ta.column(id_col).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            ids_b = tb.column(id_col).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            m_a = _normalize(_emb_matrix(ta))
-            m_b = m_a if bj == bi else _normalize(_emb_matrix(tb))
-            sims = m_a @ m_b.T
+        for is_diag, ids_a, ids_b, sims in _iter_block_tiles(t, refs,
+                                                             id_col):
             ia, ib = np.nonzero(sims >= threshold)
-            if bi == bj:
+            if is_diag:
                 keep = ia < ib               # upper triangle once
-            else:
-                keep = np.ones(len(ia), dtype=bool)
-            ia, ib = ia[keep], ib[keep]
+                ia, ib = ia[keep], ib[keep]
             lo = np.minimum(ids_a[ia], ids_b[ib])
             hi = np.maximum(ids_a[ia], ids_b[ib])
             outs.append(pa.table({
@@ -233,23 +260,12 @@ def approx_nn_ranking(ds: ray.data.Dataset, k: int = 5,
 
     def tile(t: pa.Table) -> pa.Table:
         outs = []
-        for bi, bj in zip(t.column("bi").to_pylist(),
-                          t.column("bj").to_pylist()):
-            ta = ray.get(refs[bi])
-            tb = ta if bj == bi else ray.get(refs[bj])
-            if ta.num_rows == 0 or tb.num_rows == 0:
-                continue                 # empty input block (empty dataset)
-            ids_a = ta.column(id_col).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            ids_b = tb.column(id_col).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            m_a = _normalize(_emb_matrix(ta))
-            m_b = m_a if bj == bi else _normalize(_emb_matrix(tb))
-            sims = m_a @ m_b.T
-            if bi == bj:
+        for is_diag, ids_a, ids_b, sims in _iter_block_tiles(t, refs,
+                                                             id_col):
+            if is_diag:
                 np.fill_diagonal(sims, -2.0)     # exclude self
             outs.append(local_topk(sims, ids_a, ids_b))
-            if bi != bj:
+            if not is_diag:
                 outs.append(local_topk(sims.T.copy(), ids_b, ids_a))
         return pa.concat_tables(outs) if outs else pa.table({
             "seed_idx": pa.array([], pa.int64()),
@@ -496,18 +512,10 @@ def _ivf_nn_rows(ds: ray.data.Dataset, kk: int, id_col: str,
                        ("sim", pa.float64())]).empty_table()
 
     def score_cell(t: pa.Table) -> pa.Table:
-        role = t.column("role").to_numpy(zero_copy_only=False)
-        s_mask, c_mask = role == 0, role == 1
-        if not s_mask.any() or not c_mask.any():
+        cell = _cell_sims(t, id_col)
+        if cell is None:
             return empty
-        st, ct = t.filter(pa.array(s_mask)), t.filter(pa.array(c_mask))
-        ids_s = st.column(id_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        ids_c = ct.column(id_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        sims = _round9(
-            _normalize(_emb_matrix(st)) @ _normalize(_emb_matrix(ct)).T)
-        sims[ids_s[:, None] == ids_c[None, :]] = -2.0     # exclude self
+        ids_s, ids_c, sims = cell
         m = min(kk, sims.shape[1])
         idx = np.lexsort(
             (np.broadcast_to(ids_c, sims.shape), -sims), axis=1)[:, :m]
@@ -541,18 +549,10 @@ def ivf_cosine_pairs(ds: ray.data.Dataset, threshold: float,
                        ("cosine_sim", pa.float64())]).empty_table()
 
     def score_cell(t: pa.Table) -> pa.Table:
-        role = t.column("role").to_numpy(zero_copy_only=False)
-        s_mask, c_mask = role == 0, role == 1
-        if not s_mask.any() or not c_mask.any():
+        cell = _cell_sims(t, id_col)
+        if cell is None:
             return empty
-        st, ct = t.filter(pa.array(s_mask)), t.filter(pa.array(c_mask))
-        ids_s = st.column(id_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        ids_c = ct.column(id_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        sims = _round9(
-            _normalize(_emb_matrix(st)) @ _normalize(_emb_matrix(ct)).T)
-        sims[ids_s[:, None] == ids_c[None, :]] = -2.0     # exclude self
+        ids_s, ids_c, sims = cell
         ia, ib = np.nonzero(sims >= threshold)
         a, b = ids_s[ia], ids_c[ib]
         return pa.table({

@@ -75,7 +75,11 @@ def _signature_task(cfg: EngineConfig, with_simhash: bool):
     in a module global (same amortization an actor would give)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        key = (cfg.minhash.num_perm, cfg.minhash.seed, with_simhash)
+        # key on the WHOLE (frozen, hashable) config: __call__ also reads
+        # cfg.shingle.k / lowercase, so a (num_perm, seed)-only key let a
+        # warm worker silently reuse a stale shingle configuration across
+        # jobs with different shingle settings
+        key = (cfg, with_simhash)
         actor = _TASK_STATE.get(key)
         if actor is None:
             actor = SignatureActor(cfg, with_simhash)

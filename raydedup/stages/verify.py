@@ -142,6 +142,25 @@ def _collect_ids(ds: ray.data.Dataset, col: str) -> np.ndarray:
     return np.concatenate(arrs) if arrs else np.empty(0, np.int64)
 
 
+def _pair_touched_ids(pairs: ray.data.Dataset) -> np.ndarray:
+    """Sorted unique ids appearing in either column of a pair dataset."""
+    return np.unique(np.concatenate([
+        _collect_ids(pairs, "id_a"), _collect_ids(pairs, "id_b")]))
+
+
+def _semi_filter_to_ids(ds: ray.data.Dataset,
+                        cand_ids: np.ndarray) -> ray.data.Dataset:
+    """Keep only rows whose id is in the SORTED cand_ids (vectorized
+    searchsorted membership; the clip guards the all-greater position)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(cand_ids, ids), 0, len(cand_ids) - 1)
+        return t.filter(pa.array(cand_ids[pos] == ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _assemble_broadcast(num_perm: int, lo, hi, *blocks):
     """Remote body: filtered signature blocks -> one broadcast lookup tuple
     (sorted_ids, perm, minhash 2D, shingle flat, shingle offsets). Runs as a
@@ -203,16 +222,10 @@ def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     candidates << corpus)."""
     import ray
 
-    cand_ids = np.unique(np.concatenate([
-        _collect_ids(pairs, "id_a"), _collect_ids(pairs, "id_b")]))
-
-    def keep(t: pa.Table) -> pa.Table:
-        ids = t.column("id").to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(cand_ids, ids), 0, len(cand_ids) - 1)
-        return t.filter(pa.array(cand_ids[pos] == ids))
-
-    sub = sigs.select_columns(["id", "minhash", "shingles"]) \
-        .map_batches(keep, batch_format="pyarrow").materialize()
+    cand_ids = _pair_touched_ids(pairs)
+    sub = _semi_filter_to_ids(
+        sigs.select_columns(["id", "minhash", "shingles"]),
+        cand_ids).materialize()
     if sub.count() == 0:
         return empty_verified()
     # shard the assembly by id range (~256 MB payload per shard): the copy
@@ -328,16 +341,7 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     # payloads (measured at 1.6M rows / 16 CPUs: the unfiltered first join
     # spilled for 12+ minutes; filtered it is seconds).
     if 2 * n <= cfg.broadcast_id_limit:
-        cand_ids = np.unique(np.concatenate([
-            _collect_ids(pairs, "id_a"), _collect_ids(pairs, "id_b")]))
-
-        def keep(t: pa.Table) -> pa.Table:
-            ids = t.column("id").to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(cand_ids, ids),
-                          0, len(cand_ids) - 1)
-            return t.filter(pa.array(cand_ids[pos] == ids))
-
-        proj = proj.map_batches(keep, batch_format="pyarrow")
+        proj = _semi_filter_to_ids(proj, _pair_touched_ids(pairs))
     # materialized so j2's schema inference and execution reuse it (an
     # unmaterialized j1 would execute once for .schema() and once again
     # inside j2 — the schema peek alone runs the full join)

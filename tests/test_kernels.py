@@ -226,3 +226,31 @@ def test_all_nonascii_and_all_empty_batches():
     assert len(f) == 0 and np.array_equal(o, np.zeros(4, np.int64))
     f, o = K.tokenize_hash_arrow(pa.array(["", "", ""]))
     assert len(f) == 0 and np.array_equal(o, np.zeros(4, np.int64))
+
+
+def test_simhash_trailing_empty_doc_does_not_corrupt_predecessor():
+    """A batch ending in empty docs must not steal the preceding doc's
+    last shingle from its bit-vote segment (the old clamped-reduceat bug):
+    every doc's simhash equals its solo-batch value regardless of where
+    empty docs sit in the batch."""
+    doc = "def f(x):\n    return x + 1\n"
+    other = " ".join(f"tok{i}" for i in range(30))
+    flat, offs = K.tokenize_hash_batch([doc])
+    sh, so = K.shingle_hashes(flat, offs, 5)
+    solo = K.simhash64(sh, so)[0]
+    flat2, offs2 = K.tokenize_hash_batch([other, doc, "", ""])
+    sh2, so2 = K.shingle_hashes(flat2, offs2, 5)
+    s = K.simhash64(sh2, so2)
+    assert s[1] == solo
+    assert s[2] == 0 and s[3] == 0
+    # leading + interior empties too
+    flat3, offs3 = K.tokenize_hash_batch(["", doc, "", other])
+    sh3, so3 = K.shingle_hashes(flat3, offs3, 5)
+    s3 = K.simhash64(sh3, so3)
+    assert s3[1] == solo and s3[0] == 0 and s3[2] == 0
+
+
+def test_simhash_all_empty_batch():
+    flat, offs = K.tokenize_hash_batch(["", ""])
+    sh, so = K.shingle_hashes(flat, offs, 5)
+    assert (K.simhash64(sh, so) == 0).all()

@@ -247,3 +247,30 @@ def test_cc_distributed_warns_on_iteration_exhaustion(caplog):
     with caplog.at_level(logging.WARNING, logger="raydedup.stages.cluster"):
         _cc_distributed(edges, cfg)
     assert any("did NOT converge" in r.message for r in caplog.records)
+
+
+def test_signature_task_cache_keys_on_full_config():
+    """A warm worker process must NOT reuse a SignatureActor built for a
+    different shingle configuration: two _signature_task closures sharing
+    (num_perm, seed) but differing in shingle.k must produce different
+    shingle sets in the SAME process (the old cache keyed only on the
+    minhash fields)."""
+    import dataclasses
+
+    import pyarrow as pa
+
+    from raydedup.config import EngineConfig, ShingleConfig
+    from raydedup.stages.signatures import _signature_task
+
+    batch = pa.table({
+        "id": pa.array([1], pa.int64()),
+        "content_sha256": pa.array(["x"], pa.string()),
+        "lang": pa.array(["py"], pa.string()),
+        "content": pa.array(["a b c d e f g h i j"], pa.string()),
+    })
+    cfg5 = EngineConfig()
+    cfg3 = dataclasses.replace(cfg5, shingle=ShingleConfig(k=3))
+    n5 = _signature_task(cfg5, False)(batch).column("n_shingles")[0].as_py()
+    n3 = _signature_task(cfg3, False)(batch).column("n_shingles")[0].as_py()
+    assert n5 == 10 - 5 + 1
+    assert n3 == 10 - 3 + 1
