@@ -101,16 +101,29 @@ def main(argv: list[str] | None = None) -> int:
         # run_on_parquet: read -> ingest -> signatures with no content
         # exchange through the object store)
         from raydedup.pipeline import _target_blocks
+        # flags that only the full pipeline honors: fail loudly instead of
+        # silently producing a run without the asked-for surfaces
+        dropped = [f for f, on in [
+            ("--issues", args.issues != "near_duplicates"),
+            ("--ckpt-dir", args.ckpt_dir is not None),
+            ("--write-signatures", args.write_signatures)] if on]
+        if dropped:
+            ap.error(f"{', '.join(dropped)} not supported with --base-sigs "
+                     "(incremental mode always writes new_signatures and "
+                     "has no checkpoint/issue surfaces)")
         src = read_code_files(args.input)
+        pre = False
         try:
             n_new = src.count()            # parquet: metadata-only
             cpus = int(ray.cluster_resources().get("CPU", 4))
             src = read_code_files(args.input,
                                   num_blocks=_target_blocks(n_new, cpus))
+            pre = True
         except Exception:
             pass
         inc = incremental_on_files(
-            src, rd.read_parquet(args.base_sigs, columns=sig_cols), cfg)
+            src, rd.read_parquet(args.base_sigs, columns=sig_cols), cfg,
+            pre_blocked=pre)
         surfaces = {
             "incremental_pairs": inc.pairs,
             "keep_delta": inc.keep_delta,

@@ -421,6 +421,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     scan) and non-interleaved (one scan per component) baseline files.
     Progressive/arithmetic/CMYK gate honestly; corrupt or truncated
     streams raise ValueError (the contract all codecs here share)."""
+    try:
+        return _decode_jpeg(buf)
+    except (IndexError, struct.error) as e:
+        # a segment length that cuts a DHT/SOS/SOF table short surfaces as
+        # an out-of-range index or short unpack deep in the parser — map
+        # every such truncation onto the shared corrupt-payload contract
+        raise ValueError(f"truncated JPEG stream: {e}") from e
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}

@@ -85,7 +85,13 @@ def generate(n_rows: int = 200, seed: int = 42):
 
     ~70% base files, the rest planted defects in fixed proportions.
     truth.group_id links files that are true near/exact duplicates.
-    """
+
+    Output has EXACTLY n_rows rows except when n_rows is smaller than a
+    single planted group (< ~5): groups are never split, so tiny requests
+    may overshoot by at most one group (3 rows). The budget guards below
+    consume no rng draws, so any corpus whose planted mix fits (every
+    n_rows >= ~30) is byte-identical to the unguarded generator the
+    recorded bench invariants were measured on."""
     rng = np.random.default_rng(seed)
     repos, paths, commits, langs, contents = [], [], [], [], []
     t_group, t_kind = [], []
@@ -115,6 +121,8 @@ def generate(n_rows: int = 200, seed: int = 42):
     gid = 0
     # exact duplicate groups (2-4 copies)
     for _ in range(n_dup_groups):
+        if row + 2 > n_rows:
+            break
         lang = LANGS[int(rng.integers(len(LANGS)))]
         base = _make_file(rng, lang, int(rng.integers(30, 120)))
         for _ in range(int(rng.integers(2, 5))):
@@ -122,6 +130,8 @@ def generate(n_rows: int = 200, seed: int = 42):
         gid += 1
     # near-dup line-edit groups (base + 1-3 mutants, 1-5 line edits each)
     for _ in range(n_near_groups):
+        if row + 2 > n_rows:
+            break
         lang = LANGS[int(rng.integers(len(LANGS)))]
         base = _make_file(rng, lang, int(rng.integers(60, 200)))
         emit(base, lang, "near_dup_line_edit", gid)
@@ -131,6 +141,8 @@ def generate(n_rows: int = 200, seed: int = 42):
         gid += 1
     # identifier-rename pairs
     for _ in range(n_rename):
+        if row + 2 > n_rows:
+            break
         lang = LANGS[int(rng.integers(len(LANGS)))]
         base = _make_file(rng, lang, int(rng.integers(60, 150)))
         emit(base, lang, "near_dup_rename", gid)
@@ -138,6 +150,8 @@ def generate(n_rows: int = 200, seed: int = 42):
         gid += 1
     # substring copies: A embedded verbatim in larger B
     for _ in range(n_substr):
+        if row + 2 > n_rows:
+            break
         lang = LANGS[int(rng.integers(len(LANGS)))]
         a = _make_file(rng, lang, int(rng.integers(40, 80)))
         b = _make_file(rng, lang, 30) + a + _make_file(rng, lang, 30)
@@ -146,15 +160,21 @@ def generate(n_rows: int = 200, seed: int = 42):
         gid += 1
     # boilerplate hot band: shared 15-line header, random bodies
     for _ in range(n_boiler):
+        if row >= n_rows:
+            break
         lang = LANGS[int(rng.integers(len(LANGS)))]
         emit(_LICENSE_HEADER + _make_file(rng, lang, int(rng.integers(40, 120))),
              lang, "boilerplate_hot_band", -1)
     # far outliers: disjoint vocabulary
     for _ in range(n_outlier):
+        if row >= n_rows:
+            break
         blob = " ".join(f"zq{int(rng.integers(10**9)):x}" for _ in range(200))
         emit(blob, "py", "far_outlier", -1)
     # lang mislabel: exact dup pair, one side wrong lang
     for _ in range(n_mislabel):
+        if row + 2 > n_rows:
+            break
         base = _make_file(rng, "py", int(rng.integers(40, 100)))
         emit(base, "py", "lang_mislabel", gid)
         emit(base, "js", "lang_mislabel", gid)   # wrong lang on the copy
@@ -198,6 +218,9 @@ def write_corpus_parallel(out_dir: str, n_rows: int, seed: int = 42,
     import os
     code_dir = os.path.join(out_dir, "code_files")
     os.makedirs(code_dir, exist_ok=True)
+    # keep chunks comfortably above generate()'s planted-group floor so the
+    # total is exactly n_rows (16 tiny chunks would each round up)
+    num_files = max(1, min(num_files, n_rows // 64 or 1))
     per = (n_rows + num_files - 1) // num_files
     jobs = [(os.path.join(code_dir, f"part-{i:05d}.parquet"),
              min(per, n_rows - i * per), seed * 1000 + i)

@@ -57,19 +57,8 @@ def _exact_pairs_and_reps(sigs: ray.data.Dataset, cfg: EngineConfig):
     pairs = C.grouped_pairs(None, "content_sha256", cfg.lsh.max_group_pairs,
                             cfg.join_num_partitions, mode="all", srt=srt)
 
-    def score(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "id_a": t.column("id_a"),
-            "id_b": t.column("id_b"),
-            "est_jaccard": pa.array(np.ones(n), pa.float64()),
-            "jaccard": pa.array(np.ones(n), pa.float64()),
-            "containment": pa.array(np.ones(n), pa.float64()),
-            "distance": pa.array(np.zeros(n), pa.float64()),
-            "match_kind": pa.array(["exact"] * n, pa.string()),
-        })
-
-    exact_pairs = pairs.map_batches(score, batch_format="pyarrow")
+    exact_pairs = pairs.map_batches(V.exact_score_table,
+                                    batch_format="pyarrow")
 
     rep_ids = C.run_minima(srt, "content_sha256")
     from raydedup.util import collect_up_to

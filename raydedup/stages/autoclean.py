@@ -47,13 +47,8 @@ def fraction_cut_scores(scores: np.ndarray, n_samples: int,
     range-filtered array (:125-154); we map flags back to positions in the
     ORIGINAL score vector — identical whenever all scores lie in (0,1).
     """
-    cutoff = fraction_cut_cutoff(scores, n_samples, alpha, q)
-    if cutoff is None:
-        return np.empty(0, dtype=np.int64)
-    inside = (scores > 0.0) & (scores < 1.0)
-    flagged = np.zeros(len(scores), dtype=bool)
-    flagged[inside] = _logit(scores[inside]) < cutoff
-    return np.nonzero(flagged)[0]
+    return np.nonzero(_flags_with_rule(scores, n_samples, alpha, q,
+                                       pair_rule=None))[0]
 
 
 def fraction_cut_cutoff(scores: np.ndarray, n_samples: int,
@@ -101,13 +96,10 @@ def alpha_sensitivity(scores: np.ndarray, n_samples: int,
     one record per alpha with the flagged count. Driver-side scalar math on
     a cached score vector — cheap by construction (SURVEY §2.5)."""
     alphas = 2 ** np.linspace(-10, -2, 17)
-    out = []
-    for a in alphas:
-        idx = fraction_cut_scores(scores, n_samples, alpha=float(a), q=q) \
-            if pair_rule is None else np.nonzero(_flags_with_rule(
-                scores, n_samples, float(a), q, pair_rule))[0]
-        out.append({"alpha": float(a), "n_flagged": int(len(idx))})
-    return out
+    return [{"alpha": float(a),
+             "n_flagged": int(_flags_with_rule(
+                 scores, n_samples, float(a), q, pair_rule).sum())}
+            for a in alphas]
 
 
 def threshold_sensitivity(scores: np.ndarray, n_samples: int,
@@ -117,14 +109,10 @@ def threshold_sensitivity(scores: np.ndarray, n_samples: int,
     (auto_cleaning_mixin.py:156-184): q = 2^-10 .. 2^-2 (17 log-spaced
     values) at fixed alpha = 0.1; one record per q with the flagged count."""
     qs = 2 ** np.linspace(-10, -2, 17)
-    out = []
-    for q in qs:
-        idx = fraction_cut_scores(scores, n_samples, alpha=alpha,
-                                  q=float(q)) \
-            if pair_rule is None else np.nonzero(_flags_with_rule(
-                scores, n_samples, alpha, float(q), pair_rule))[0]
-        out.append({"q": float(q), "n_flagged": int(len(idx))})
-    return out
+    return [{"q": float(q),
+             "n_flagged": int(_flags_with_rule(
+                 scores, n_samples, alpha, float(q), pair_rule).sum())}
+            for q in qs]
 
 
 def _flags_with_rule(scores, n_samples, alpha, q, pair_rule):

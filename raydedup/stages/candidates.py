@@ -32,7 +32,8 @@ from ray.data.aggregate import Count, Min
 
 from raydedup import kernels as K
 from raydedup.config import EngineConfig
-from raydedup.util import collect_up_to, effective_partitions, hash_join
+from raydedup.util import (boundary_take, collect_up_to,
+                           effective_partitions, hash_join)
 
 # boundary/dedup sets at or below this row count are finished on the driver
 # (numpy) instead of paying a distributed shuffle's fixed cost; above it the
@@ -168,13 +169,10 @@ def _boundary_rows_fn(key: str):
     edges): the shared boundary scheme of run_minima and grouped_pairs."""
     def boundary_rows(t: pa.Table) -> pa.Table:
         k, ids, starts, ends = _runs(t, key)
-        if len(starts) == 0:
+        take = boundary_take(starts, ends)
+        if len(take) == 0:
             return pa.table({key: t.column(key).slice(0, 0),
                              "id": pa.array([], pa.int64())})
-        take = np.r_[np.arange(starts[0], ends[0]),
-                     np.arange(starts[-1], ends[-1])] if len(starts) > 1 \
-            else np.arange(starts[0], ends[0])
-        take = np.unique(take)
         return pa.table({key: pa.array(k[take]).cast(t.schema.field(key).type),
                          "id": pa.array(ids[take], pa.int64())})
 

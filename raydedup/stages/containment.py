@@ -35,7 +35,8 @@ import ray.data
 from raydedup import kernels as K
 from raydedup.config import EngineConfig
 from raydedup.stages.candidates import DRIVER_SMALL_LIMIT, dedupe_pairs
-from raydedup.util import collect_up_to, unpack_u64_flat
+from raydedup.util import (boundary_columns, boundary_take, collect_up_to,
+                           unpack_u64_flat)
 
 logger = logging.getLogger(__name__)
 
@@ -114,6 +115,12 @@ def _emit_probe_pairs(skey: np.ndarray, ids: np.ndarray, probe: np.ndarray,
     within = np.arange(total, dtype=np.int64) - offs[seg]
     partner = starts[run_of][seg] + within
     keep = partner != ppos[seg]
+    # a probe whose own slot lies OUTSIDE its run's first `reps` members
+    # never hits the self-exclusion above and would emit cap+1 pairs; drop
+    # its window's last slot so every probe emits at most cap partners
+    outside = (ppos - starts[run_of]) >= reps
+    if outside.any():
+        keep[offs[1:][outside] - 1] = False
     a = ids[ppos[seg][keep]]
     b = ids[partner[keep]]
     return pa.table({
@@ -153,18 +160,11 @@ def containment_candidates(sigs: ray.data.Dataset,
         return _emit_probe_pairs(k, ids, probe, starts, ends, sel, cap)
 
     def boundary(t: pa.Table) -> pa.Table:
-        k, starts, ends = _block_runs(t)
-        if len(starts) == 0:
+        _, starts, ends = _block_runs(t)
+        take = boundary_take(starts, ends)
+        if len(take) == 0:
             return _EMPTY_ROWS.empty_table()
-        take = np.r_[np.arange(starts[0], ends[0]),
-                     np.arange(starts[-1], ends[-1])] if len(starts) > 1 \
-            else np.arange(starts[0], ends[0])
-        take = np.unique(take)
-        return pa.table({
-            "skey": t.column("skey").take(pa.array(take)),
-            "id": t.column("id").take(pa.array(take)),
-            "probe": t.column("probe").take(pa.array(take)),
-        })
+        return boundary_columns(t, ["skey", "id", "probe"], take)
 
     inner = srt.map_batches(interior, batch_format="pyarrow")
     brows = srt.map_batches(boundary, batch_format="pyarrow")

@@ -179,19 +179,6 @@ def _endpoint_flags(pairs: ray.data.Dataset, new_ids: ray.data.Dataset,
     return ends.groupby("id").aggregate(Max("flag", alias_name="flag"))
 
 
-def _exact_score(t: pa.Table) -> pa.Table:
-    n = t.num_rows
-    return pa.table({
-        "id_a": t.column("id_a"),
-        "id_b": t.column("id_b"),
-        "est_jaccard": pa.array(np.ones(n), pa.float64()),
-        "jaccard": pa.array(np.ones(n), pa.float64()),
-        "containment": pa.array(np.ones(n), pa.float64()),
-        "distance": pa.array(np.zeros(n), pa.float64()),
-        "match_kind": pa.array(["exact"] * n, pa.string()),
-    })
-
-
 def _filter_rep_ids(sigs: ray.data.Dataset, rep_ids: ray.data.Dataset,
                     cfg: EngineConfig) -> ray.data.Dataset:
     """Signature rows of the representative ids (same broadcast-isin /
@@ -255,7 +242,7 @@ def incremental_pairs(new_sigs: ray.data.Dataset,
                                 cfg.join_num_partitions, mode="all",
                                 srt=touched)
     exact_pairs = _pairs_touching(exact_all, new_ids, cfg) \
-        .map_batches(_exact_score, batch_format="pyarrow")
+        .map_batches(V.exact_score_table, batch_format="pyarrow")
 
     # ---- near plane over representatives (one per distinct content)
     rep_ids = C.run_minima(srt, "content_sha256")
@@ -453,8 +440,8 @@ def incremental_dedup(new_sigs: ray.data.Dataset,
 
 def incremental_on_files(new_files: ray.data.Dataset,
                          base_sigs: ray.data.Dataset,
-                         cfg: Optional[EngineConfig] = None
-                         ) -> IncrementResult:
+                         cfg: Optional[EngineConfig] = None,
+                         pre_blocked: bool = False) -> IncrementResult:
     """Convenience entry: ingest + sign the increment (the only content
     scan), then dedupe it against the stored base signatures.
 
@@ -464,16 +451,23 @@ def incremental_on_files(new_files: ray.data.Dataset,
     EVERY pass of the pair plane (measured 3x on the 50k bench when the
     sig stage emitted 224 ~200-row blocks). base_sigs is used as given —
     stored signatures read from parquet arrive source-sized; callers
-    producing them in-process should size them the same way."""
+    producing them in-process should size them the same way.
+
+    pre_blocked=True promises the increment's blocks are already
+    right-sized at the source (read with override_num_blocks — same
+    contract as pipeline.run_pipeline): the coalescing repartition is then
+    SKIPPED, preserving read->sign fusion instead of re-exchanging every
+    content byte through the object store."""
     from raydedup.pipeline import _target_blocks
     from raydedup.stages.ingest import ingest
     from raydedup.stages.signatures import compute_signatures
     cfg = cfg or EngineConfig()
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        n = new_files.count()           # parquet source: metadata-only
-        new_files = new_files.repartition(_target_blocks(n, cpus))
-    except Exception:
-        pass                            # unsized input still works
+    if not pre_blocked:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            n = new_files.count()       # parquet source: metadata-only
+            new_files = new_files.repartition(_target_blocks(n, cpus))
+        except Exception:
+            pass                        # unsized input still works
     new_sigs = compute_signatures(ingest(new_files), cfg).materialize()
     return incremental_dedup(new_sigs, base_sigs, cfg)

@@ -37,7 +37,7 @@ import ray.data
 from raydedup import kernels as K
 from raydedup.stages.candidates import DRIVER_SMALL_LIMIT
 from raydedup.stages.containment import _block_runs
-from raydedup.util import collect_up_to
+from raydedup.util import boundary_columns, boundary_take, collect_up_to
 
 _U64 = np.uint64
 # FNV-1a 64 prime and the odd golden-gamma: independent Horner multipliers.
@@ -240,17 +240,10 @@ def dup_gram_hits(rows: ray.data.Dataset) -> ray.data.Dataset:
 
     def boundary(t: pa.Table) -> pa.Table:
         _, starts, ends = _block_runs(t)
-        if len(starts) == 0:
+        take = boundary_take(starts, ends)
+        if len(take) == 0:
             return _ROWS_SCHEMA.empty_table()
-        if len(starts) > 1:
-            take = np.r_[np.arange(starts[0], ends[0]),
-                         np.arange(starts[-1], ends[-1])]
-        else:
-            take = np.arange(starts[0], ends[0])
-        arr = pa.array(take)
-        return pa.table({"skey": t.column("skey").take(arr),
-                         "id": t.column("id").take(arr),
-                         "pos": t.column("pos").take(arr)})
+        return boundary_columns(t, ["skey", "id", "pos"], take)
 
     inner = srt.map_batches(interior, batch_format="pyarrow")
     brows = srt.map_batches(boundary, batch_format="pyarrow")

@@ -23,7 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
 from raydedup.config import EngineConfig
-from raydedup.util import hash_join
+from raydedup.util import boundary_columns, boundary_take, hash_join
 
 
 def ranked_pairs(verified: ray.data.Dataset) -> ray.data.Dataset:
@@ -163,17 +163,12 @@ def quantile_off_topic(dist_pairs: ray.data.Dataset,
                          "off_topic_q": pa.array(sc, pa.float64())})
 
     def boundary(t: pa.Table) -> pa.Table:
-        k, _, starts, ends = _runs(t, "id")
-        if len(starts) == 0:
+        _, _, starts, ends = _runs(t, "id")
+        take = boundary_take(starts, ends)
+        if len(take) == 0:
             return pa.table({"id": pa.array([], pa.int64()),
                              "d": pa.array([], pa.float64())})
-        take = np.r_[np.arange(starts[0], ends[0]),
-                     np.arange(starts[-1], ends[-1])] if len(starts) > 1 \
-            else np.arange(starts[0], ends[0])
-        take = np.unique(take)
-        vals = t.column("d").to_numpy(zero_copy_only=False)
-        return pa.table({"id": pa.array(k[take], pa.int64()),
-                         "d": pa.array(vals[take], pa.float64())})
+        return boundary_columns(t, ["id", "d"], take)
 
     inner = srt.map_batches(interior, batch_format="pyarrow")
     brows = srt.map_batches(boundary, batch_format="pyarrow")

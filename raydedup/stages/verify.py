@@ -124,6 +124,23 @@ def empty_verified() -> ray.data.Dataset:
     return ray.data.from_arrow(pa.schema(VERIFIED_FIELDS).empty_table())
 
 
+def exact_score_table(t: pa.Table) -> pa.Table:
+    """(id_a, id_b) pairs -> the constant VERIFIED_FIELDS row for EXACT
+    duplicates (J = containment = 1, distance = 0). Shared by the flagship
+    sha-group path and the incremental plane so a VERIFIED_FIELDS change
+    cannot drift the two exact tables' schemas apart."""
+    n = t.num_rows
+    return pa.table({
+        "id_a": t.column("id_a"),
+        "id_b": t.column("id_b"),
+        "est_jaccard": pa.array(np.ones(n), pa.float64()),
+        "jaccard": pa.array(np.ones(n), pa.float64()),
+        "containment": pa.array(np.ones(n), pa.float64()),
+        "distance": pa.array(np.zeros(n), pa.float64()),
+        "match_kind": pa.array(["exact"] * n, pa.string()),
+    })
+
+
 def distance_pairs(verified: ray.data.Dataset) -> ray.data.Dataset:
     """Verified pairs restricted to true distance-metric rows (exact +
     near_dup); substring/containment matches live above the distance

@@ -194,3 +194,27 @@ def hash_join(left, right, on: str, right_on: str, num_partitions: int,
         return t.filter(pc.not_equal(t.column(on), sent))
 
     return joined.map_batches(drop_sentinels, batch_format="pyarrow")
+
+
+def boundary_take(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Row indices of the FIRST and LAST key-run of a key-sorted block.
+
+    The shared boundary scheme of every sort+run-scan operator (candidates
+    grouped_pairs/run_minima, rank quantile_off_topic, ngram dup_gram_hits,
+    containment_candidates): interior runs are complete within a block, but
+    the first and last run may straddle block edges, so their rows are
+    re-emitted for a small global pass. Sorted unique indices; empty when
+    the block is empty."""
+    if len(starts) == 0:
+        return np.empty(0, np.int64)
+    if len(starts) == 1:
+        return np.arange(starts[0], ends[0])
+    return np.unique(np.r_[np.arange(starts[0], ends[0]),
+                           np.arange(starts[-1], ends[-1])])
+
+
+def boundary_columns(t: pa.Table, cols: list[str],
+                     take: np.ndarray) -> pa.Table:
+    """Project `cols` of the taken rows (the boundary emitters' tail)."""
+    arr = pa.array(take)
+    return pa.table({c: t.column(c).take(arr) for c in cols})

@@ -274,3 +274,92 @@ def test_signature_task_cache_keys_on_full_config():
     n3 = _signature_task(cfg3, False)(batch).column("n_shingles")[0].as_py()
     assert n5 == 10 - 5 + 1
     assert n3 == 10 - 3 + 1
+
+
+def test_truncated_jpeg_raises_valueerror_not_indexerror():
+    """Segment lengths that cut a DHT or SOS table short must surface as
+    the shared corrupt-payload ValueError, not a bare IndexError, so
+    per-file skip-on-corrupt handlers keep working."""
+    import pytest
+
+    from raydedup import codecs
+
+    buf, mime, _, _ = codecs.synthesize_image(0, 1, "jpeg")
+
+    def corrupt(marker: int) -> bytes:
+        b = bytearray(buf)
+        i = 2
+        while i + 2 <= len(b):
+            if b[i] == 0xFF and b[i + 1] == marker:
+                b[i + 2], b[i + 3] = 0, 5 if marker == 0xC4 else 2
+                return bytes(b)
+            i += 1
+        raise AssertionError("marker not found")
+
+    for marker in (0xC4, 0xDA):       # truncated DHT / empty SOS
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(corrupt(marker))
+
+
+def test_corpus_generate_row_count_is_bounded():
+    """generate(n) returns exactly n rows for any n that fits the planted
+    mix, and never more than n + 3 (one unsplittable group) for tiny n;
+    normal-size corpora are byte-identical to the pre-guard generator."""
+    from raydedup import corpus
+
+    for n in (1, 2, 5, 10, 24, 30, 64, 100, 200):
+        code, truth = corpus.generate(n, seed=7)
+        assert code.num_rows == truth.num_rows
+        assert n <= code.num_rows <= max(n, 5) + 3
+        if n >= 30:
+            assert code.num_rows == n
+
+
+def test_corpus_parallel_total_matches_request(tmp_path):
+    """write_corpus_parallel must not multiply the planted floor across
+    tiny chunks: 100 rows over 16 requested files lands exactly 100."""
+    import pyarrow.parquet as pq
+
+    from raydedup import corpus
+
+    d = corpus.write_corpus_parallel(str(tmp_path), 100, seed=3,
+                                     num_files=16, procs=4)
+    assert pq.read_table(d).num_rows == 100
+
+
+def test_containment_probe_cap_is_exact():
+    """A probe outside its run's first cap+1 members must still emit at
+    most cap pairs (the self-exclusion slot is reclaimed from the window's
+    last member)."""
+    import numpy as np
+    import pyarrow as pa  # noqa: F401
+
+    from raydedup.stages.containment import _emit_probe_pairs
+
+    skey = np.array([7] * 5, np.int64)
+    ids = np.array([10, 11, 12, 13, 14], np.int64)
+    starts, ends = np.array([0]), np.array([5])
+    sel = np.array([True])
+    for pos, cap, want in [(4, 2, 2), (0, 2, 2), (1, 10, 4), (4, 4, 4)]:
+        probe = np.zeros(5, np.int8)
+        probe[pos] = 1
+        t = _emit_probe_pairs(skey, ids, probe, starts, ends, sel, cap)
+        assert t.num_rows == want, (pos, cap, t.num_rows)
+        a = t.column("id_a").to_numpy()
+        b = t.column("id_b").to_numpy()
+        assert (a < b).all() and ids[pos] in np.r_[a, b]
+
+
+def test_cli_rejects_full_pipeline_flags_in_incremental_mode(tmp_path):
+    """--issues/--ckpt-dir/--write-signatures have no surface in
+    --base-sigs mode; the CLI must fail loudly instead of silently
+    dropping them."""
+    import pytest
+
+    from raydedup.__main__ import main
+
+    with pytest.raises(SystemExit) as ei:
+        main(["--input", str(tmp_path), "--output", str(tmp_path / "o"),
+              "--base-sigs", str(tmp_path), "--ckpt-dir",
+              str(tmp_path / "ck")])
+    assert ei.value.code == 2
