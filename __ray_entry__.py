@@ -115,6 +115,11 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(_documents(sf_dir))
 
 
+def _q_repetition_stats(sf_dir: str):
+    from raydedup.stages.textstats import repetition_stats
+    return repetition_stats(_documents(sf_dir))
+
+
 def _q_lang_id(sf_dir: str):
     from raydedup.stages.textstats import lang_id
     return lang_id(_documents(sf_dir))
@@ -444,6 +449,52 @@ _PLANT_CONTAINERS_SQL = """
             WHERE doc_id % 50 = 0
 """
 
+# planted-boilerplate corpus: every doc gets two footer lines shared by
+# ~1/5 resp. ~1/3 of the corpus (the shipped documents have no newlines
+# at all, so boilerplate removal would pass only vacuously against them)
+_PLANT_FOOTERS_SQL = """
+  SELECT doc_id,
+         text || chr(10) || 'FTR-' || CAST(doc_id % 5 AS VARCHAR)
+              || chr(10) || 'BNR-' || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents
+"""
+
+
+def _footer_docs(sf_dir: str) -> ray.data.Dataset:
+    """Engine mirror of _PLANT_FOOTERS_SQL (identical arithmetic/strings)."""
+    import pyarrow.compute as pc
+    base = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64())
+
+        def mod(m):
+            return pc.subtract(did, pc.multiply(
+                pc.divide(did, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        f1 = pc.binary_join_element_wise(
+            pa.scalar("FTR-"), pc.cast(mod(5), pa.string()), "")
+        f2 = pc.binary_join_element_wise(
+            pa.scalar("BNR-"), pc.cast(mod(3), pa.string()), "")
+        text = pc.binary_join_element_wise(
+            pc.cast(t.column("text"), pa.string()), f1, f2, "\n")
+        return pa.table({"doc_id": did, "text": text})
+
+    return base.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_boilerplate_lines(sf_dir: str):
+    """Corpus-wide hot-line inventory over the planted-footer corpus."""
+    from raydedup.stages.boilerplate import boilerplate_lines
+    return boilerplate_lines(_footer_docs(sf_dir), min_docs=50)
+
+
+def _q_remove_boilerplate(sf_dir: str):
+    """Boilerplate-line removal: every doc rewritten without hot lines."""
+    from raydedup.stages.boilerplate import remove_boilerplate
+    return remove_boilerplate(_footer_docs(sf_dir), min_docs=50)
+
 
 def _q_planted_dup_groups(sf_dir: str):
     """exact_dup_groups over the planted-copies corpus: the non-vacuous
@@ -671,6 +722,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
+        "repetition_stats": _q_repetition_stats,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "remove_boilerplate": _q_remove_boilerplate,
         "lang_id": _q_lang_id,
         "quality_filter": _q_quality_filter,
         "media_wav_roundtrip": _q_media_wav_roundtrip,
@@ -1108,6 +1162,33 @@ def oracle_sql() -> dict[str, str]:
                        AS fingerprint
             FROM documents
         """,
+        "repetition_stats": r"""
+            WITH L AS (
+                SELECT doc_id, line
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, chr(10))) AS line
+                      FROM documents)
+                WHERE line <> ''
+            ), C AS (
+                SELECT doc_id, line, COUNT(*) AS c
+                FROM L GROUP BY doc_id, line
+            ), A AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_lines,
+                       CAST(COUNT(*) AS BIGINT) AS n_unique_lines,
+                       CAST(MAX(c) AS BIGINT) AS top_line_count
+                FROM C GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_lines, 0) AS n_lines,
+                   COALESCE(a.n_unique_lines, 0) AS n_unique_lines,
+                   CASE WHEN a.n_lines IS NULL THEN 0.0
+                        ELSE (a.n_lines - a.n_unique_lines)
+                             / CAST(a.n_lines AS DOUBLE)
+                   END AS dup_line_frac,
+                   COALESCE(a.top_line_count, 0) AS top_line_count
+            FROM documents d LEFT JOIN A a USING (doc_id)
+        """,
         "media_wav_roundtrip": r"""
             SELECT doc_id, len(cps) AS n_samples,
                    coalesce(list_aggregate(cps, 'sum'), 0) AS sample_sum,
@@ -1330,6 +1411,31 @@ def oracle_sql() -> dict[str, str]:
             WITH pl AS ({_PLANT_COPIES_SQL})
             SELECT sha256(text) AS content_sha256, count(*) AS n_copies
             FROM pl GROUP BY 1 HAVING count(*) > 1
+        """,
+        "boilerplate_lines": f"""
+            WITH B AS ({_PLANT_FOOTERS_SQL}),
+            X AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                  FROM B)
+            SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM X WHERE line <> ''
+            GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 50
+        """,
+        "remove_boilerplate": f"""
+            WITH B AS ({_PLANT_FOOTERS_SQL}),
+            X AS (SELECT doc_id,
+                         unnest(string_split(text, chr(10))) AS line,
+                         generate_subscripts(string_split(text, chr(10)), 1)
+                             AS ord
+                  FROM B),
+            H AS (SELECT line FROM X WHERE line <> ''
+                  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 50)
+            SELECT x.doc_id,
+                   COALESCE(string_agg(
+                       CASE WHEN h.line IS NULL THEN x.line END,
+                       chr(10) ORDER BY x.ord), '') AS clean_text,
+                   CAST(COUNT(h.line) AS BIGINT) AS n_removed
+            FROM X x LEFT JOIN H h USING (line)
+            GROUP BY x.doc_id
         """,
         "planted_substring_pairs": f"""
             WITH pl AS ({_PLANT_CONTAINERS_SQL}), {_pair_ctes('pl')}

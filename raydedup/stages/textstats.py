@@ -42,10 +42,10 @@ for _c in b" \t\n\r\x0b\x0c":
     _WS_MASK[_c] = True
 
 
-def _string_parts(col):
+def _string_buffers(col):
     """(Large)String column -> (byte_offsets int64[n+1], data uint8) sliced
-    to the column, or None when the batch contains non-ASCII bytes (callers
-    fall back to the regex path)."""
+    to the column. Raw UTF-8 bytes — valid for byte-level work (newline
+    splitting, hashing) on ANY text."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     bufs = col.buffers()
@@ -58,6 +58,13 @@ def _string_parts(col):
         else np.empty(0, np.uint8)
     data = data[offs[0]:offs[-1]]
     offs = offs - offs[0]
+    return offs, data
+
+
+def _string_parts(col):
+    """Like _string_buffers but None when the batch contains non-ASCII
+    bytes (callers with codepoint semantics fall back to the regex path)."""
+    offs, data = _string_buffers(col)
     if len(data) and data.max() >= 128:
         return None
     return offs, data
@@ -418,3 +425,64 @@ def corpus_stats_by_lang(ds: ray.data.Dataset, text_col: str = "text",
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def repetition_stats(ds: ray.data.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id") -> ray.data.Dataset:
+    """-> (doc_id, n_lines, n_unique_lines, dup_line_frac, top_line_count).
+
+    Gopher/C4-style intra-document repetition quality signal over NON-EMPTY
+    newline-split lines: how many lines a document repeats verbatim
+    (dup_line_frac = (n_lines - n_unique_lines) / n_lines) and the highest
+    single-line multiplicity. Matches the SQL oracle
+    `string_split(text, chr(10)) ... WHERE line <> ''` exactly; the engine
+    compares lines by 64-bit content hash (splitmix chain over raw UTF-8
+    bytes — newline bytes never occur inside a multi-byte sequence, so
+    byte-level splitting is exact for any text).
+
+    Fully vectorized: one nonzero() for newline positions, one lexsort of
+    (doc, line_hash) per batch, bincount/reduceat for the per-doc stats."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t.column(text_col), pa.large_string()), "")
+        offs, data = _string_buffers(s)
+        ndocs = len(offs) - 1
+        nl = np.nonzero(data == 0x0A)[0]
+        # line segments: sorted starts (doc starts + char-after-newline)
+        # paired with sorted ends (newlines + doc ends). Zero-length
+        # segments (adjacent newlines, doc boundaries) are dropped, which
+        # also makes their doc attribution irrelevant.
+        starts = np.sort(np.concatenate([offs[:-1], nl + 1]))
+        ends = np.sort(np.concatenate([nl, offs[1:]]))
+        lens = ends - starts
+        keep = lens > 0
+        starts, lens = starts[keep], lens[keep]
+        n_lines = np.zeros(ndocs, np.int64)
+        n_unique = np.zeros(ndocs, np.int64)
+        top = np.zeros(ndocs, np.int64)
+        if len(starts):
+            doc_of = np.searchsorted(offs, starts, side="right") - 1
+            h = K._hash_token_runs(data, starts, lens)
+            n_lines = np.bincount(doc_of, minlength=ndocs).astype(np.int64)
+            order = np.lexsort((h, doc_of))
+            d_s, h_s = doc_of[order], h[order]
+            first = np.r_[True, (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])]
+            run_starts = np.nonzero(first)[0]
+            counts = np.r_[run_starts[1:], len(h_s)] - run_starts
+            run_doc = d_s[run_starts]
+            n_unique = np.bincount(run_doc, minlength=ndocs).astype(np.int64)
+            dstarts = np.nonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])[0]
+            top[run_doc[dstarts]] = np.maximum.reduceat(counts, dstarts)
+        frac = np.where(
+            n_lines > 0,
+            (n_lines - n_unique) / np.maximum(n_lines, 1).astype(np.float64),
+            0.0)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_unique_lines": pa.array(n_unique, pa.int64()),
+            "dup_line_frac": pa.array(frac, pa.float64()),
+            "top_line_count": pa.array(top, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -110,3 +110,126 @@ def test_quality_filter_is_single_scan():
     plan = repr(ds)
     for wide in ("Sort", "Aggregate", "RandomShuffle", "Repartition"):
         assert wide not in plan, plan
+
+
+def test_repetition_stats_planted_cases():
+    """Hand-computed repetition profiles, including multi-byte UTF-8
+    lines, interior/trailing empty lines, and the all-empty document."""
+    from raydedup.stages.textstats import repetition_stats
+    tbl = _docs([
+        (1, "a\nb\na\n", "en"),        # 3 lines, 2 unique, top 2
+        (2, "", "en"),                 # no lines
+        (3, "\n\n\n", "en"),           # only empty lines
+        (4, "solo", "en"),             # 1 line
+        (5, "x\nx\nx\nx", "en"),       # 4 lines all same
+        (6, "é\né\nß", "en"),          # UTF-8 lines: 3 lines, 2 unique
+        (7, None, "en"),               # null text
+    ])
+    out = repetition_stats(rd.from_arrow(tbl)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1].tolist() == [3, 2, 1 / 3, 2]
+    assert out.loc[2].tolist() == [0, 0, 0.0, 0]
+    assert out.loc[3].tolist() == [0, 0, 0.0, 0]
+    assert out.loc[4].tolist() == [1, 1, 0.0, 1]
+    assert out.loc[5].tolist() == [4, 1, 3 / 4, 4]
+    assert out.loc[6].tolist() == [3, 2, 1 / 3, 2]
+    assert out.loc[7].tolist() == [0, 0, 0.0, 0]
+
+
+def test_repetition_stats_matches_duckdb_oracle():
+    """Random multi-block corpus vs the exact SQL the driver runs."""
+    import duckdb
+
+    from raydedup.stages.textstats import repetition_stats
+    rng = np.random.default_rng(5)
+    lines = ["alpha", "beta beta", "", "gamma", "alpha", "  spaced  "]
+    docs = ["\n".join(rng.choice(lines, size=rng.integers(0, 12)).tolist())
+            for _ in range(200)]
+    tbl = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    got = repetition_stats(rd.from_arrow(tbl).repartition(7)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["repetition_stats"]
+                       + " ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def _boiler_tbl(n=60):
+    rows = []
+    for i in range(n):
+        extra = "\nSHARED\nSHARED" if i % 2 == 0 else "\n\n"
+        rows.append((i, f"unique body line {i}\nFOOTER-{i % 3}{extra}"))
+    return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "text": pa.array([r[1] for r in rows], pa.string())})
+
+
+def test_boilerplate_lines_distinct_doc_counts():
+    """Within-doc repeats must not inflate the distinct-doc count: SHARED
+    appears twice in each even doc but counts each doc once."""
+    from raydedup.stages.boilerplate import boilerplate_lines
+    tbl = _boiler_tbl(60)
+    out = boilerplate_lines(rd.from_arrow(tbl).repartition(5), 10) \
+        .to_pandas().set_index("line").sort_index()
+    assert out.loc["SHARED"].n_docs == 30
+    assert out.loc["FOOTER-0"].n_docs == 20
+    assert len(out) == 4        # 3 footers + SHARED; body lines unique
+
+
+def test_remove_boilerplate_preserves_order_and_empties():
+    from raydedup.stages.boilerplate import remove_boilerplate
+    tbl = _boiler_tbl(60)
+    out = remove_boilerplate(rd.from_arrow(tbl).repartition(5), 10) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # even doc: body + footer + SHARED x2 -> 3 removed, body kept
+    assert out.loc[0].clean_text == "unique body line 0"
+    assert out.loc[0].n_removed == 3
+    # odd doc: trailing empty lines preserved verbatim
+    assert out.loc[1].clean_text == "unique body line 1\n\n"
+    assert out.loc[1].n_removed == 1
+
+
+def test_remove_boilerplate_matches_duckdb_oracle():
+    import duckdb
+
+    from raydedup.stages.boilerplate import remove_boilerplate
+    tbl = _boiler_tbl(60)
+    got = remove_boilerplate(rd.from_arrow(tbl).repartition(7), 10) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("b", tbl)
+    want = con.execute("""
+        WITH X AS (SELECT doc_id,
+                          unnest(string_split(text, chr(10))) AS line,
+                          generate_subscripts(string_split(text, chr(10)), 1)
+                              AS ord FROM b),
+        H AS (SELECT line FROM X WHERE line <> ''
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10)
+        SELECT x.doc_id,
+               COALESCE(string_agg(CASE WHEN h.line IS NULL THEN x.line END,
+                                   chr(10) ORDER BY x.ord), '') AS clean_text,
+               CAST(COUNT(h.line) AS BIGINT) AS n_removed
+        FROM X x LEFT JOIN H h USING (line)
+        GROUP BY x.doc_id ORDER BY x.doc_id""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_remove_boilerplate_hot_set_cap_raises():
+    """Exceeding max_hot_lines must fail loudly (no silent caps)."""
+    import pytest
+
+    from raydedup.stages.boilerplate import remove_boilerplate
+    tbl = _boiler_tbl(60)
+    with pytest.raises(ValueError, match="max_hot_lines"):
+        remove_boilerplate(rd.from_arrow(tbl), 10, max_hot_lines=2)
+
+
+def test_remove_boilerplate_no_hot_lines_is_identity():
+    from raydedup.stages.boilerplate import remove_boilerplate
+    tbl = _boiler_tbl(6)
+    out = remove_boilerplate(rd.from_arrow(tbl), 1000) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out.n_removed == 0).all()
+    assert out.clean_text.tolist() == tbl.column("text").to_pylist()
