@@ -1428,14 +1428,20 @@ def oracle_sql() -> dict[str, str]:
                              AS ord
                   FROM B),
             H AS (SELECT line FROM X WHERE line <> ''
-                  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 50)
-            SELECT x.doc_id,
-                   COALESCE(string_agg(
-                       CASE WHEN h.line IS NULL THEN x.line END,
-                       chr(10) ORDER BY x.ord), '') AS clean_text,
-                   CAST(COUNT(h.line) AS BIGINT) AS n_removed
-            FROM X x LEFT JOIN H h USING (line)
-            GROUP BY x.doc_id
+                  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 50),
+            A AS (SELECT x.doc_id,
+                         string_agg(
+                             CASE WHEN h.line IS NULL THEN x.line END,
+                             chr(10) ORDER BY x.ord) AS clean_text,
+                         CAST(COUNT(h.line) AS BIGINT) AS n_removed
+                  FROM X x LEFT JOIN H h USING (line)
+                  GROUP BY x.doc_id)
+            -- LEFT JOIN back to B: a NULL text yields zero X rows but the
+            -- engine (fill_null -> '') still emits its doc row
+            SELECT b.doc_id,
+                   COALESCE(a.clean_text, '') AS clean_text,
+                   COALESCE(a.n_removed, 0) AS n_removed
+            FROM B b LEFT JOIN A a USING (doc_id)
         """,
         "planted_substring_pairs": f"""
             WITH pl AS ({_PLANT_CONTAINERS_SQL}), {_pair_ctes('pl')}

@@ -233,3 +233,34 @@ def test_remove_boilerplate_no_hot_lines_is_identity():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (out.n_removed == 0).all()
     assert out.clean_text.tolist() == tbl.column("text").to_pylist()
+
+
+def test_remove_boilerplate_oracle_keeps_null_text_docs():
+    """The driver oracle LEFT-JOINs back to the corpus so NULL-text docs
+    keep their row, matching the engine's fill_null('') behavior."""
+    import duckdb
+
+    from raydedup.stages.boilerplate import remove_boilerplate
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a\nF", None, "b\nF"], pa.string())})
+    got = remove_boilerplate(rd.from_arrow(t), 2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("b0", t)
+    want = con.execute("""
+        WITH B AS (SELECT doc_id, text FROM b0),
+        X AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                         AS ord FROM B),
+        H AS (SELECT line FROM X WHERE line <> ''
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+        A AS (SELECT x.doc_id,
+                     string_agg(CASE WHEN h.line IS NULL THEN x.line END,
+                                chr(10) ORDER BY x.ord) AS clean_text,
+                     CAST(COUNT(h.line) AS BIGINT) AS n_removed
+              FROM X x LEFT JOIN H h USING (line) GROUP BY x.doc_id)
+        SELECT b.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               COALESCE(a.n_removed, 0) AS n_removed
+        FROM B b LEFT JOIN A a USING (doc_id) ORDER BY doc_id""").df()
+    assert len(got) == 3 and got.loc[1, "n_removed"] == 0
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
