@@ -139,6 +139,21 @@ def _q_media_wav_roundtrip(sf_dir: str):
     return out
 
 
+def _q_media_image_roundtrip(sf_dir: str):
+    """Image decode plane, oracle-gated (the image analog of
+    media_wav_roundtrip): text codepoints -> REAL BMP/PNG payloads
+    (alternating by doc_id parity, so both decoders gate) -> the real
+    decoders -> integer per-pixel stats. The SQL oracle recomputes the
+    stats from the text alone (unicode(c) mod 256)."""
+    from raydedup.stages.multimodal import docs_to_image, image_stats
+    media = docs_to_image(
+        _documents(sf_dir).select_columns(["doc_id", "text"]))
+    return image_stats(media).map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id" if c == "media_id" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
 def _q_quality_filter(sf_dir: str):
     from raydedup.stages.textstats import quality_filter
     return _collect(quality_filter(_documents(sf_dir)),
@@ -728,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality_filter": _q_quality_filter,
         "media_wav_roundtrip": _q_media_wav_roundtrip,
+        "media_image_roundtrip": _q_media_image_roundtrip,
         "corpus_stats_by_lang": _q_corpus_stats_by_lang,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -1201,6 +1217,20 @@ def oracle_sql() -> dict[str, str]:
                                                        ''),
                                  c -> c <> ''),
                              c -> unicode(c) % 251) AS cps
+                  FROM documents)
+        """,
+        "media_image_roundtrip": r"""
+            SELECT doc_id, len(cps) AS n_pixels,
+                   coalesce(list_aggregate(cps, 'sum'), 0) AS pixel_sum,
+                   coalesce(list_aggregate(cps, 'min'), 0) AS pixel_min,
+                   coalesce(list_aggregate(cps, 'max'), 0) AS pixel_max
+            FROM (SELECT doc_id,
+                         list_transform(
+                             list_filter(
+                                 regexp_split_to_array(coalesce(text, ''),
+                                                       ''),
+                                 c -> c <> ''),
+                             c -> unicode(c) % 256) AS cps
                   FROM documents)
         """,
         "quality_filter": r"""

@@ -314,3 +314,81 @@ def frame_features(media: ray.data.Dataset, every_ms: int = 1000,
         FrameFeatureActor, fn_constructor_kwargs={"every_ms": every_ms},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency), num_cpus=1)
+
+
+def docs_to_image(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents (doc_id, text) -> MEDIA_SCHEMA-shaped image rows whose
+    payload is a REAL encoded image (BMP for even doc_ids, PNG for odd):
+    a 1-pixel-tall RGB strip where pixel i's gray value = codepoint i of
+    the text, mod 256 (replicated to the three channels). Codepoint-true
+    and deterministic, so the SQL oracle recomputes the expected pixel
+    stats from the text alone — the image-plane analog of docs_to_wav.
+    Empty texts carry an empty payload (width 0)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = t.column("text").to_pylist()
+        payloads, mimes, widths = [], [], np.empty(len(texts), np.int32)
+        for i, s in enumerate(texts):
+            cps = np.frombuffer((s or "").encode("utf-32-le"), dtype="<u4")
+            widths[i] = len(cps)
+            if len(cps) == 0:
+                payloads.append(b"")
+                mimes.append("image/bmp" if ids[i] % 2 == 0
+                             else "image/png")
+                continue
+            gray = (cps % np.uint32(256)).astype(np.uint8)
+            img = np.repeat(gray, 3).reshape(1, len(gray), 3)
+            if ids[i] % 2 == 0:
+                payloads.append(codecs.encode_bmp(img))
+                mimes.append("image/bmp")
+            else:
+                payloads.append(codecs.encode_png(img))
+                mimes.append("image/png")
+        n = t.num_rows
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(np.where(widths > 0, 1, 0), pa.int32()),
+            "duration_ms": pa.array(np.full(n, -1, np.int32), pa.int32()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def image_stats(media: ray.data.Dataset) -> ray.data.Dataset:
+    """(media_id, payload, mime) -> integer per-image pixel stats through
+    the REAL image decoders: n_pixels, pixel_sum, pixel_min, pixel_max
+    over the first channel (0s for an empty payload). Stateless
+    map_batches tasks, one decode per row."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        mimes = t.column("mime").to_pylist()
+        n = len(payloads)
+        np_, sm, mn, mx = (np.zeros(n, np.int64) for _ in range(4))
+        for i, (p, m) in enumerate(zip(payloads, mimes)):
+            if not p:
+                continue
+            img = codecs.decode_image(p, m)
+            px = (img[..., 0] if img.ndim == 3 else img).ravel() \
+                .astype(np.int64)
+            if len(px) == 0:
+                continue
+            np_[i] = len(px)
+            sm[i] = px.sum()
+            mn[i] = px.min()
+            mx[i] = px.max()
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "n_pixels": pa.array(np_, pa.int64()),
+            "pixel_sum": pa.array(sm, pa.int64()),
+            "pixel_min": pa.array(mn, pa.int64()),
+            "pixel_max": pa.array(mx, pa.int64()),
+        })
+
+    return media.map_batches(fn, batch_format="pyarrow")

@@ -485,3 +485,28 @@ def test_media_wav_roundtrip_query_matches_duckdb_oracle():
     assert list(got.columns) == list(exp.columns) == \
         ["doc_id", "n_samples", "sample_sum", "sample_min", "sample_max"]
     assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+def test_docs_to_image_roundtrip_both_formats():
+    """Even doc_ids encode BMP, odd PNG; both decode back to the exact
+    codepoint-mod-256 strip, including non-ASCII codepoints and the empty
+    text (empty payload, zero stats)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.multimodal import docs_to_image, image_stats
+    docs = ["abc", "", "héllo 世界", "z" * 300]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    media = docs_to_image(rd.from_arrow(t))
+    mt = media.to_pandas().set_index("media_id").sort_index()
+    assert mt.loc[0, "mime"] == "image/bmp"
+    assert mt.loc[1, "mime"] == "image/png" and len(mt.loc[1, "payload"]) == 0
+    out = image_stats(media).to_pandas().set_index("media_id").sort_index()
+    for i, s in enumerate(docs):
+        cps = np.array([ord(c) % 256 for c in s], np.int64)
+        assert out.loc[i, "n_pixels"] == len(cps)
+        assert out.loc[i, "pixel_sum"] == (cps.sum() if len(cps) else 0)
+        assert out.loc[i, "pixel_min"] == (cps.min() if len(cps) else 0)
+        assert out.loc[i, "pixel_max"] == (cps.max() if len(cps) else 0)
