@@ -154,6 +154,21 @@ def _q_media_image_roundtrip(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_video_roundtrip(sf_dir: str):
+    """Video decode plane, oracle-gated (the y4m analog of the WAV/image
+    round-trips): text codepoints -> REAL single-frame YUV4MPEG2 streams
+    -> the real y4m decoder -> integer first-frame pixel stats. Gray
+    RGB<->BT.601 is bit-exact for gray, so the oracle recomputes the
+    stats from the text alone (unicode(c) mod 256)."""
+    from raydedup.stages.multimodal import docs_to_y4m, video_stats
+    media = docs_to_y4m(
+        _documents(sf_dir).select_columns(["doc_id", "text"]))
+    return video_stats(media).map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id" if c == "media_id" else c for c in t.column_names]),
+        batch_format="pyarrow")
+
+
 def _q_quality_filter(sf_dir: str):
     from raydedup.stages.textstats import quality_filter
     return _collect(quality_filter(_documents(sf_dir)),
@@ -744,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "media_wav_roundtrip": _q_media_wav_roundtrip,
         "media_image_roundtrip": _q_media_image_roundtrip,
+        "media_video_roundtrip": _q_media_video_roundtrip,
         "corpus_stats_by_lang": _q_corpus_stats_by_lang,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -1220,6 +1236,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         "media_image_roundtrip": r"""
+            SELECT doc_id, len(cps) AS n_pixels,
+                   coalesce(list_aggregate(cps, 'sum'), 0) AS pixel_sum,
+                   coalesce(list_aggregate(cps, 'min'), 0) AS pixel_min,
+                   coalesce(list_aggregate(cps, 'max'), 0) AS pixel_max
+            FROM (SELECT doc_id,
+                         list_transform(
+                             list_filter(
+                                 regexp_split_to_array(coalesce(text, ''),
+                                                       ''),
+                                 c -> c <> ''),
+                             c -> unicode(c) % 256) AS cps
+                  FROM documents)
+        """,
+        "media_video_roundtrip": r"""
             SELECT doc_id, len(cps) AS n_pixels,
                    coalesce(list_aggregate(cps, 'sum'), 0) AS pixel_sum,
                    coalesce(list_aggregate(cps, 'min'), 0) AS pixel_min,

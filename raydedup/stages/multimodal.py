@@ -392,3 +392,72 @@ def image_stats(media: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     return media.map_batches(fn, batch_format="pyarrow")
+
+
+def docs_to_y4m(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents (doc_id, text) -> MEDIA_SCHEMA-shaped video rows whose
+    payload is a REAL single-frame YUV4MPEG2 (C444) stream: a 1-pixel-tall
+    gray strip with pixel i = codepoint i mod 256. Gray RGB -> BT.601 YUV
+    -> RGB is bit-exact for gray values (coefficients sum to 1; verified
+    by the round-trip test), so the SQL oracle recomputes the expected
+    pixel stats from the text alone — the video analog of docs_to_wav /
+    docs_to_image. Empty texts carry an empty payload."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = t.column("text").to_pylist()
+        payloads, widths = [], np.empty(len(texts), np.int32)
+        for i, s in enumerate(texts):
+            cps = np.frombuffer((s or "").encode("utf-32-le"), dtype="<u4")
+            widths[i] = len(cps)
+            if len(cps) == 0:
+                payloads.append(b"")
+                continue
+            gray = (cps % np.uint32(256)).astype(np.uint8)
+            img = np.repeat(gray, 3).reshape(1, len(gray), 3)
+            payloads.append(codecs.encode_y4m([img], chroma="444"))
+        n = t.num_rows
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["video/x-yuv4mpeg2"] * n, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(np.where(widths > 0, 1, 0), pa.int32()),
+            "duration_ms": pa.array(np.where(widths > 0, 40, 0), pa.int32()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def video_stats(media: ray.data.Dataset) -> ray.data.Dataset:
+    """(media_id, payload) -> integer pixel stats of the FIRST decoded
+    frame through the real y4m decoder: n_pixels, pixel_sum, pixel_min,
+    pixel_max over channel 0 (0s for an empty payload)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        n = len(payloads)
+        np_, sm, mn, mx = (np.zeros(n, np.int64) for _ in range(4))
+        for i, p in enumerate(payloads):
+            if not p:
+                continue
+            info = codecs.y4m_info(p)
+            if info["n_frames"] == 0:
+                continue
+            img = codecs.y4m_frame(p, 0, info)
+            px = img[..., 0].ravel().astype(np.int64)
+            np_[i] = len(px)
+            sm[i] = px.sum()
+            mn[i] = px.min()
+            mx[i] = px.max()
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "n_pixels": pa.array(np_, pa.int64()),
+            "pixel_sum": pa.array(sm, pa.int64()),
+            "pixel_min": pa.array(mn, pa.int64()),
+            "pixel_max": pa.array(mx, pa.int64()),
+        })
+
+    return media.map_batches(fn, batch_format="pyarrow")

@@ -510,3 +510,24 @@ def test_docs_to_image_roundtrip_both_formats():
         assert out.loc[i, "pixel_sum"] == (cps.sum() if len(cps) else 0)
         assert out.loc[i, "pixel_min"] == (cps.min() if len(cps) else 0)
         assert out.loc[i, "pixel_max"] == (cps.max() if len(cps) else 0)
+
+
+def test_docs_to_y4m_roundtrip_stats():
+    """Single-frame gray y4m streams decode back to the exact
+    codepoint-mod-256 strip (gray RGB<->BT.601 is bit-exact for gray)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.multimodal import docs_to_y4m, video_stats
+    docs = ["abc", "", "héllo 世界", "q" * 200]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = video_stats(docs_to_y4m(rd.from_arrow(t))).to_pandas() \
+        .set_index("media_id").sort_index()
+    for i, s in enumerate(docs):
+        cps = np.array([ord(c) % 256 for c in s], np.int64)
+        assert out.loc[i, "n_pixels"] == len(cps)
+        assert out.loc[i, "pixel_sum"] == (cps.sum() if len(cps) else 0)
+        assert out.loc[i, "pixel_min"] == (cps.min() if len(cps) else 0)
+        assert out.loc[i, "pixel_max"] == (cps.max() if len(cps) else 0)
