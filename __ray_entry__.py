@@ -378,6 +378,153 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ev, gap_s=1800)
 
 
+_PLANT_PII_SQL = """
+  SELECT doc_id,
+         COALESCE(text, '')
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact u' || CAST(doc_id % 97 AS VARCHAR)
+                      || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' see https://ex' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.org/p/' || CAST(doc_id % 97 AS VARCHAR) || ' ok'
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _pii_docs(sf_dir: str) -> ray.data.Dataset:
+    """Engine mirror of _PLANT_PII_SQL (identical arithmetic/strings) —
+    the shipped documents contain no emails/URLs, so the redaction surface
+    is derived in-query to gate non-vacuously (the planted-footer
+    convention)."""
+    import pyarrow.compute as pc
+    base = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.int64())
+
+        def mod(m):
+            return pc.subtract(did, pc.multiply(
+                pc.divide(did, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        p97 = pc.cast(mod(97), pa.string())
+        p7 = pc.cast(mod(7), pa.string())
+        email = pc.if_else(
+            pc.equal(mod(3), pa.scalar(0, pa.int64())),
+            pc.binary_join_element_wise(
+                pa.scalar(" contact u"), p97, pa.scalar("@ex"), p7,
+                pa.scalar(".org now"), ""),
+            pa.scalar(""))
+        url = pc.if_else(
+            pc.equal(mod(5), pa.scalar(0, pa.int64())),
+            pc.binary_join_element_wise(
+                pa.scalar(" see https://ex"), p7, pa.scalar(".org/p/"),
+                p97, pa.scalar(" ok"), ""),
+            pa.scalar(""))
+        text = pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(t.column("text"), pa.string()), ""),
+            email, url, "")
+        return pa.table({"doc_id": did, "text": text})
+
+    return base.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_redact_pii(sf_dir: str):
+    """Email/URL scrub over the planted-PII derivation: counts + redacted
+    text, URLs replaced before emails (shared RE2 semantics with the
+    DuckDB oracle)."""
+    from raydedup.stages.redact import redact_pii
+    out = redact_pii(_pii_docs(sf_dir))
+    return _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("n_urls", pa.int64()),
+        ("n_emails", pa.int64()), ("clean_text", pa.large_string()),
+    ])).sort_by("doc_id")
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3-style word-5-gram overlap): docs
+    with doc_id % 17 == 0 act as the held-out eval set; every other doc is
+    flagged with how many of its distinct 4-grams appear in eval docs
+    (4-grams / mod 17 chosen so the surface is non-vacuous at every
+    shipped sf).
+    Broadcast semi-join (ray.put the eval key set once); the SQL oracle
+    joins on the gram STRING, so an engine hash collision would surface
+    as a mismatch."""
+    from raydedup.stages.decontaminate import decontaminate, eval_gram_keys
+    docs = _documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def split(want_eval):
+        def f(t: pa.Table) -> pa.Table:
+            did = t.column("doc_id").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            m = (did % 17 == 0) if want_eval else (did % 17 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    ev = docs.map_batches(split(True), batch_format="pyarrow")
+    tr = docs.map_batches(split(False), batch_format="pyarrow")
+    keys = eval_gram_keys(ev, n=4)
+    out = decontaminate(tr, keys, n=4)
+    return _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("n_grams", pa.int64()),
+        ("n_hit", pa.int64())])).sort_by("doc_id")
+
+
+def _q_asof_join_events(sf_dir: str):
+    """As-of join (task-brief custom operator): each 'purchase' event joined
+    to the most recent prior-or-equal 'click' of the same user (DuckDB
+    ASOF LEFT JOIN is the oracle). One hash exchange on user_id, then a
+    vectorized per-partition sorted-merge (stages/joins.py)."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.joins import asof_join
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def pick(v):
+        return lambda t: t.filter(pc.equal(t.column("event_type"), v)) \
+            .drop_columns(["event_type"])
+
+    left = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(pick("click"), batch_format="pyarrow")
+    out = asof_join(left, right, key="user_id", num_parts=8)
+    return _collect(out, pa.schema([
+        ("event_id", pa.int64()), ("key", pa.int64()),
+        ("ts_us", pa.int64()), ("matched_event_id", pa.int64()),
+        ("matched_ts_us", pa.int64()), ("matched_value", pa.float64()),
+    ])).sort_by("event_id")
+
+
+def _q_range_join_agg(sf_dir: str):
+    """Range join + aggregate (task-brief custom operator): per 'purchase',
+    the count and floor(value*100) int64 sum of the same user's 'view'
+    events in the trailing 24 h window (half-open (t-24h, t]); integer
+    sums keep the compare bitwise despite DuckDB's different add order."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.joins import range_join_agg
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def pick(v):
+        return lambda t: t.filter(pc.equal(t.column("event_type"), v)) \
+            .drop_columns(["event_type"])
+
+    left = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(pick("view"), batch_format="pyarrow")
+    out = range_join_agg(left, right, width_us=86_400_000_000,
+                         key="user_id", num_parts=8)
+    return _collect(out, pa.schema([
+        ("event_id", pa.int64()), ("key", pa.int64()),
+        ("ts_us", pa.int64()), ("n_in_window", pa.int64()),
+        ("sum_scaled", pa.int64()),
+    ])).sort_by("event_id")
+
+
 def _q_substring_pairs(sf_dir: str):
     """Containment/substring matches via the EXACT prefix-filter pass
     (stages/containment.py): every pair with containment >= 0.9 shares one
@@ -775,6 +922,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "hopping_window": _q_hopping_window,
         "session_windows": _q_session_windows,
+        "decontaminate": _q_decontaminate,
+        "redact_pii": _q_redact_pii,
+        "asof_join_events": _q_asof_join_events,
+        "range_join_agg": _q_range_join_agg,
         "substring_pairs": _q_substring_pairs,
         "planted_dup_groups": _q_planted_dup_groups,
         "planted_substring_pairs": _q_planted_substring_pairs,
@@ -1411,6 +1562,98 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # PII scrub: URL replace first, then email, both RE2 patterns
+        # identical to the engine's pyarrow.compute kernels
+        "redact_pii": rf"""
+            WITH pl AS ({_PLANT_PII_SQL})
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       'https?://[^\s]+')) AS n_urls,
+                   len(regexp_extract_all(
+                       regexp_replace(text, 'https?://[^\s]+', '<URL>',
+                                      'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+                       AS n_emails,
+                   regexp_replace(
+                       regexp_replace(text, 'https?://[^\s]+', '<URL>',
+                                      'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g') AS clean_text
+            FROM pl
+            ORDER BY doc_id
+        """,
+        # decontamination: strict word 4-grams over '[a-z0-9_]+' tokens of
+        # the lowercased text (the tokenizer contract lang_id already
+        # gates); eval = doc_id % 17 == 0, train = the rest; n_grams /
+        # n_hit count DISTINCT grams per train doc
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+              FROM toks, LATERAL unnest(range(1, len(t) - 4 + 2)) AS u(i)
+            ), eg AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0
+            ), tg AS (
+              SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 17 <> 0
+            ), cg AS (
+              SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id
+            ), h AS (
+              SELECT doc_id, count(*) AS n_hit FROM tg
+              WHERE gram IN (SELECT gram FROM eg) GROUP BY doc_id
+            )
+            SELECT h.doc_id AS doc_id, cg.n_grams AS n_grams,
+                   h.n_hit AS n_hit
+            FROM h JOIN cg USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # as-of join: right-side (user, ts) ties reduced to the max
+        # event_id first (the engine's deterministic tie rule), then
+        # DuckDB's native ASOF LEFT JOIN (greatest r.ts <= l.ts)
+        "asof_join_events": """
+            WITH r0 AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+              FROM events WHERE event_type = 'click'
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id, epoch_us(ts)
+                ORDER BY event_id DESC) = 1
+            ), l AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT l.event_id AS event_id, l.user_id AS key,
+                   l.ts_us AS ts_us,
+                   COALESCE(r0.event_id, -1) AS matched_event_id,
+                   COALESCE(r0.ts_us, -1) AS matched_ts_us,
+                   COALESCE(r0.value, -1.0) AS matched_value
+            FROM l ASOF LEFT JOIN r0
+              ON l.user_id = r0.user_id AND l.ts_us >= r0.ts_us
+            ORDER BY event_id
+        """,
+        # range join + aggregate over the half-open trailing window
+        # (t - 24h, t]; sums are floor(value*100) BIGINT so the result is
+        # order-independent (bitwise float compare downstream)
+        "range_join_agg": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'purchase'
+            ), r AS (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT l.event_id AS event_id, l.user_id AS key,
+                   l.ts_us AS ts_us,
+                   count(r.ts_us) AS n_in_window,
+                   COALESCE(sum(r.cents), 0) AS sum_scaled
+            FROM l LEFT JOIN r
+              ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
+                 AND r.ts_us > l.ts_us - 86400000000
+            GROUP BY 1, 2, 3
+            ORDER BY event_id
         """,
         "embedding_pair_ranking": """
             -- mirrors the engine's two-stage rounding exactly: sim is
