@@ -378,6 +378,17 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ev, gap_s=1800)
 
 
+def _q_top_terms(sf_dir: str):
+    """Corpus vocabulary: top-100 terms by distinct-document frequency
+    (df >= 5), term-ASC tie-break so the cut is deterministic. Per-batch
+    distinct (doc, term) partials; ONE string-keyed groupby-sum shuffle."""
+    from raydedup.stages.vocab import top_terms
+    out = top_terms(_documents(sf_dir).select_columns(["doc_id", "text"]),
+                    k=100, min_docs=5)
+    return _collect(out, pa.schema([("term", pa.large_string()),
+                                    ("df", pa.int64())]))
+
+
 _PLANT_PII_SQL = """
   SELECT doc_id,
          COALESCE(text, '')
@@ -924,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_session_windows,
         "decontaminate": _q_decontaminate,
         "redact_pii": _q_redact_pii,
+        "top_terms": _q_top_terms,
         "asof_join_events": _q_asof_join_events,
         "range_join_agg": _q_range_join_agg,
         "substring_pairs": _q_substring_pairs,
@@ -1562,6 +1574,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # vocabulary df: distinct docs per lowercased '[a-z0-9_]+' token
+        "top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9_]+')) AS term
+              FROM documents
+            ), d AS (SELECT DISTINCT doc_id, term FROM toks)
+            SELECT term, count(*) AS df FROM d
+            GROUP BY term HAVING count(*) >= 5
+            ORDER BY df DESC, term
+            LIMIT 100
         """,
         # PII scrub: URL replace first, then email, both RE2 patterns
         # identical to the engine's pyarrow.compute kernels
