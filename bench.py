@@ -181,8 +181,31 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                 concurrency=max(2, num_cpus - 2)).count() \
                 == media_tbl.num_rows
 
+        # temporal joins over the driver events table (sf-scaled)
+        import pyarrow.compute as _pc
+
+        from raydedup.stages.joins import asof_join, range_join_agg
+
+        def _ev_side(v):
+            return lambda t: t.filter(
+                _pc.equal(t.column("event_type"), v)) \
+                .drop_columns(["event_type"])
+
+        def q_temporal_joins():
+            ev = rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type",
+                         "value"])
+            l_ = ev.map_batches(_ev_side("purchase"),
+                                batch_format="pyarrow")
+            r_ = ev.map_batches(_ev_side("click"), batch_format="pyarrow")
+            asof_join(l_, r_, num_parts=8).count()
+            range_join_agg(l_, r_, width_us=86_400_000_000,
+                           num_parts=8).count()
+
         jobs += [("incremental_dedup", q_incremental),
-                 ("media_decode", q_media_decode)]
+                 ("media_decode", q_media_decode),
+                 ("temporal_joins", q_temporal_joins)]
 
     # single-shot wall-times on this shared host swing 2-3x with cross-
     # tenant load; interleave >= 2 full passes over the pipeline sequence
