@@ -145,7 +145,10 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
               id_col: str = "event_id", value_col: str = "value",
               num_parts: Optional[int] = None) -> ray.data.Dataset:
     """-> (event_id, key, ts_us, matched_event_id, matched_ts_us,
-    matched_value); unmatched left rows carry -1 / -1 / -1.0 (LEFT join)."""
+    matched_value); unmatched left rows carry -1 / -1 / -1.0 (LEFT join).
+
+    Assumes non-null key/ts/value columns (the events contract); a null
+    right value would surface as NaN where SQL reports NULL."""
     if num_parts is None:
         num_parts = _num_parts(left.count() + right.count())
     both = _tag_side(right, 0, key, ts_col, id_col, value_col, num_parts) \
