@@ -187,3 +187,64 @@ def test_hamming64_matches_popcount(xs, ys):
                      for x, y in zip(a, b)], dtype=got.dtype)
     assert np.array_equal(got, want)
     assert (K.hamming64(a, a) == 0).all()
+
+
+# ----------------------------------------------------------- join kernels
+
+_events = st.lists(
+    st.tuples(st.integers(0, 3),            # key
+              st.integers(0, 20),           # ts
+              st.booleans(),                # is_left
+              st.floats(0, 50, allow_nan=False, width=32)),
+    max_size=40)
+
+
+def _merged_table(evs):
+    import pyarrow as pa
+    return pa.table({
+        "_part": pa.array([0] * len(evs), pa.int64()),
+        "_side": pa.array([1 if is_l else 0 for _, _, is_l, _ in evs],
+                          pa.int8()),
+        "key": pa.array([k for k, _, _, _ in evs], pa.int64()),
+        "ts_us": pa.array([t for _, t, _, _ in evs], pa.int64()),
+        "event_id": pa.array(list(range(len(evs))), pa.int64()),
+        "value": pa.array([v for _, _, _, v in evs], pa.float64()),
+    })
+
+
+@FAST
+@given(_events)
+def test_asof_kernel_matches_python_reference(evs):
+    from raydedup.stages.joins import _asof_kernel
+    out = _asof_kernel(_merged_table(evs)).to_pydict()
+    got = {eid: (m, mt) for eid, m, mt in zip(out["event_id"],
+                                              out["matched_event_id"],
+                                              out["matched_ts_us"])}
+    lefts = [(i, k, t) for i, (k, t, is_l, _) in enumerate(evs) if is_l]
+    assert sorted(got) == sorted(i for i, _, _ in lefts)
+    for i, k, t in lefts:
+        cands = [(tt, j) for j, (kk, tt, is_l, _) in enumerate(evs)
+                 if not is_l and kk == k and tt <= t]
+        want = max(cands) if cands else (-1, -1)   # max ts, then max eid
+        assert got[i] == (want[1], want[0]), (i, got[i], want)
+
+
+@FAST
+@given(_events, st.integers(1, 10))
+def test_range_kernel_matches_python_reference(evs, width):
+    import math
+
+    from raydedup.stages.joins import _range_kernel_factory
+    out = _range_kernel_factory(width, 100.0)(_merged_table(evs)) \
+        .to_pydict()
+    got = {eid: (n, s) for eid, n, s in zip(out["event_id"],
+                                            out["n_in_window"],
+                                            out["sum_scaled"])}
+    for i, (k, t, is_l, _) in enumerate(evs):
+        if not is_l:
+            assert i not in got
+            continue
+        rs = [vv for j, (kk, tt, is_r2, vv) in enumerate(evs)
+              if not is_r2 and kk == k and t - width < tt <= t]
+        want = (len(rs), sum(int(math.floor(v * 100.0)) for v in rs))
+        assert got[i] == want, (i, got[i], want)
