@@ -53,7 +53,8 @@ MUTANTS = [
         digit''',
         "new": '''        alpha = pc.cast(pc.count_substring_regex(s, "[A-Za-z0-9]"), pa.int64())
         digit''',
-        "gate": ["correctness", "quality_scores"],
+        "gate": ["pytest",
+                 "tests/test_gate_boundaries.py::test_quality_scores_alpha_digit_split"],
     },
     {
         "name": "session_gap_inclusive",
@@ -61,7 +62,8 @@ MUTANTS = [
         "file": "raydedup/stages/windows.py",
         "old": "    breaks[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_s)",
         "new": "    breaks[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] >= gap_s)",
-        "gate": ["pytest", "tests/test_round2.py", "-k", "session"],
+        "gate": ["pytest",
+                 "tests/test_gate_boundaries.py::test_session_gap_boundary_exact"],
     },
     {
         "name": "decontaminate_backstop_grams",
