@@ -74,6 +74,25 @@ MUTANTS = [
         "gate": ["pytest",
                  "tests/test_decontaminate.py::test_short_docs_have_no_grams"],
     },
+    {
+        "name": "lsh_band_starvation",
+        "desc": "LSH runs 4 of the configured 32 bands (recall collapse)",
+        "file": "raydedup/config.py",
+        "old": "    bands: int = 32",
+        "new": "    bands: int = 4",
+        "gate": ["pytest",
+                 "tests/test_pipeline.py::test_cluster_recall_vs_oracle"],
+    },
+    {
+        "name": "incremental_prune_inverted",
+        "desc": "bucket prune keeps only NON-matching base band rows",
+        "file": "raydedup/stages/incremental.py",
+        "old": """            m = pc.is_in(t.column(col), value_set=vals)
+            return t.filter(pc.fill_null(m, False))""",
+        "new": """            m = pc.is_in(t.column(col), value_set=vals)
+            return t.filter(pc.invert(pc.fill_null(m, False)))""",
+        "gate": ["pytest", "tests/test_incremental.py", "-x"],
+    },
 ]
 
 
