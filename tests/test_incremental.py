@@ -167,3 +167,28 @@ def test_forced_fallback_paths(monkeypatch):
     dist = dist[dist.match_kind != "substring"]
     for a, b in zip(dist.id_a, dist.id_b):
         assert not (a in kept and b in kept)
+
+
+def test_mixed_cap_fallback_parity(ray_session):
+    """broadcast_id_limit=0 with DRIVER_SMALL_LIMIT left at its default
+    routes the bucket prune through _semi_join's BROADCAST branch (the
+    fused-prune path needs the gkey budget; the all-zeros fallback test
+    forces _semi_join onto its hash-join branch instead) — the one
+    combination the mutation kill-matrix found unexercised. Pair parity
+    with the full pipeline must hold."""
+    from raydedup import corpus
+    from raydedup.pipeline import run_pipeline
+    code, _ = corpus.generate(80, seed=7)
+    base_tbl, new_tbl = _split(code, mod=3, rem=2)
+
+    full = run_pipeline(rd.from_arrow(code)).verified_pairs.to_pandas()
+
+    cfg = EngineConfig(broadcast_id_limit=0)
+    base_sigs = compute_signatures(
+        ingest(rd.from_arrow(base_tbl)), cfg).materialize()
+    res = INC.incremental_on_files(rd.from_arrow(new_tbl), base_sigs, cfg)
+    new_ids = set(res.new_signatures.select_columns(["id"])
+                  .to_pandas()["id"])
+    fdf = full[full.id_a.isin(new_ids) | full.id_b.isin(new_ids)]
+    assert len(fdf) > 0
+    assert _pair_set(res.pairs.to_pandas()) == _pair_set(fdf)

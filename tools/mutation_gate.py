@@ -91,7 +91,8 @@ MUTANTS = [
             return t.filter(pc.fill_null(m, False))""",
         "new": """            m = pc.is_in(t.column(col), value_set=vals)
             return t.filter(pc.invert(pc.fill_null(m, False)))""",
-        "gate": ["pytest", "tests/test_incremental.py", "-x"],
+        "gate": ["pytest",
+                 "tests/test_incremental.py::test_mixed_cap_fallback_parity"],
     },
 ]
 
