@@ -378,6 +378,19 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ev, gap_s=1800)
 
 
+def _q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k (no QUALIFY/row_number in Ray Data): per-batch partial
+    top-k combiner, then one groupby().map_groups final cut; ordering
+    (n_chars DESC, doc_id ASC) makes the cut deterministic."""
+    from raydedup.stages.topk import top_k_per_group
+    docs = _documents(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    out = top_k_per_group(docs, group_col="lang", value_col="n_chars",
+                          id_col="doc_id", k=3, descending=True)
+    return _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("n_chars", pa.int64())])).sort_by("doc_id")
+
+
 def _q_top_terms(sf_dir: str):
     """Corpus vocabulary: top-100 terms by distinct-document frequency
     (df >= 5), term-ASC tie-break so the cut is deterministic. Per-batch
@@ -936,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "redact_pii": _q_redact_pii,
         "top_terms": _q_top_terms,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "asof_join_events": _q_asof_join_events,
         "range_join_agg": _q_range_join_agg,
         "substring_pairs": _q_substring_pairs,
@@ -1574,6 +1588,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # grouped top-k with the engine's (value DESC, id ASC) tie rule
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
+            ORDER BY doc_id
         """,
         # vocabulary df: distinct docs per lowercased '[a-z0-9_]+' token
         "top_terms": r"""
