@@ -248,3 +248,29 @@ def test_range_kernel_matches_python_reference(evs, width):
               if not is_r2 and kk == k and t - width < tt <= t]
         want = (len(rs), sum(int(math.floor(v * 100.0)) for v in rs))
         assert got[i] == want, (i, got[i], want)
+
+
+@FAST
+@given(st.lists(st.tuples(st.integers(0, 4),          # group
+                          st.integers(0, 6)),         # value (ties likely)
+                max_size=50),
+       st.integers(1, 4), st.booleans())
+def test_topk_table_matches_pandas_reference(rows, k, desc):
+    import pandas as pd
+    import pyarrow as pa
+
+    from raydedup.stages.topk import _topk_table
+    t = pa.table({
+        "lang": pa.array([f"g{g}" for g, _ in rows]),
+        "n_chars": pa.array([v for _, v in rows], pa.int64()),
+        "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+    })
+    got = _topk_table(t, "lang", "n_chars", "doc_id", k, desc).to_pydict()
+    df = t.to_pandas()
+    if len(df):
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, not desc, True])
+        want = df.groupby("lang", sort=False).head(k)
+        assert sorted(got["doc_id"]) == sorted(want.doc_id.tolist())
+    else:
+        assert got["doc_id"] == []
