@@ -61,3 +61,13 @@ def test_topk_k_larger_than_group(ray_session):
     out = top_k_per_group(ray.data.from_arrow(t), "lang", "n_chars",
                           "doc_id", k=10).to_pandas()
     assert len(out) == 2
+
+
+def test_topk_null_group_forms_own_partition(ray_session):
+    # SQL PARTITION BY groups NULLs together; the kernel must match
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "lang": pa.array(["a", None, None, "a"]),
+                  "n_chars": pa.array([5, 7, 3, 9], pa.int64())})
+    out = top_k_per_group(ray.data.from_arrow(t), "lang", "n_chars",
+                          "doc_id", k=1).to_pandas()
+    assert sorted(out.doc_id) == [1, 3]
