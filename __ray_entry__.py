@@ -378,6 +378,18 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ev, gap_s=1800)
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 10% hash sample (splitmix64(doc_id) % 1000 < 100):
+    reproducible on any cluster in any order; the oracle replays
+    splitmix64 in generated SQL so the sampled id SET is value-checked."""
+    from raydedup.stages.sample import hash_sample
+    docs = _documents(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    out = hash_sample(docs, keep_lt=100, mod=1000)
+    return _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("n_chars", pa.int64())])).sort_by("doc_id")
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     """Grouped top-k (no QUALIFY/row_number in Ray Data): per-batch partial
     top-k combiner, then one groupby().map_groups final cut; ordering
@@ -950,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "top_terms": _q_top_terms,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "hash_sample": _q_hash_sample,
         "asof_join_events": _q_asof_join_events,
         "range_join_agg": _q_range_join_agg,
         "substring_pairs": _q_substring_pairs,
@@ -1197,44 +1210,53 @@ def _lang_id_sql() -> str:
     """
 
 
+_M64_SQL = "18446744073709551616"
+
+
+def _u64_sql(e):
+    return f"CAST({e} AS UBIGINT)"
+
+
+def _mulc_sql(a, c):
+    """(a * c) mod 2^64 in DuckDB via HUGEINT with 32-bit constant limbs
+    (a 64x64 product overflows signed INT128: split c = chi*2^32 + clo so
+    a*clo <= 2^96 and (a & 0xFFFFFFFF)*chi <= 2^64)."""
+    clo, chi = c & 0xFFFFFFFF, c >> 32
+    t1 = f"CAST({a} AS HUGEINT) * {clo}"
+    t2 = (f"((CAST(({a}) & 4294967295 AS HUGEINT) * {chi})"
+          f" % 4294967296) * 4294967296")
+    return _u64_sql(f"((({t1}) + ({t2})) % {_M64_SQL})")
+
+
+def _addm_sql(a, b):
+    return _u64_sql(
+        f"((CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT)) % {_M64_SQL})")
+
+
+def _sm64_sql(x):
+    """splitmix64(x) in DuckDB SQL, bit-exact vs kernels.splitmix64 (the
+    simhash oracle's hash-chain replay proves this construction). Keep x a
+    SMALL expression (column ref / lambda var only: textual expansion is
+    ~32x the argument)."""
+    a1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    s1 = _addm_sql(x, a1)
+    s2 = f"xor({s1}, ({s1}) >> 30)"
+    s3 = _mulc_sql(s2, c2)
+    s4 = f"xor({s3}, ({s3}) >> 27)"
+    s5 = _mulc_sql(s4, c3)
+    return f"xor({s5}, ({s5}) >> 31)"
+
+
 def _simhash_sql() -> str:
     """Generated DuckDB oracle for simhash_dup_pairs: replays the ENGINE's
     exact hash chain (kernels.py token-hash spec -> 5-gram poly shingles ->
     64-bit majority vote, kernels.simhash64) in pure SQL, then brute-forces
     ALL doc pairs at Hamming <= 3 — independently checking both the banding
     recall guarantee (any pair at d <= 3 shares one of the 4 16-bit bands)
-    and the fingerprint values bit-for-bit.
-
-    All mod-2^64 arithmetic goes through HUGEINT with 32-bit constant limbs
-    (a 64x64 product overflows signed INT128: split c = chi*2^32 + clo so
-    a*clo <= 2^96 and (a & 0xFFFFFFFF)*chi <= 2^64)."""
-    m64 = "18446744073709551616"
-    a1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    and the fingerprint values bit-for-bit."""
+    m64 = _M64_SQL
     poly = 0x100000001B3
-
-    def u64(e):
-        return f"CAST({e} AS UBIGINT)"
-
-    def mulc(a, c):
-        clo, chi = c & 0xFFFFFFFF, c >> 32
-        t1 = f"CAST({a} AS HUGEINT) * {clo}"
-        t2 = (f"((CAST(({a}) & 4294967295 AS HUGEINT) * {chi})"
-              f" % 4294967296) * 4294967296")
-        return u64(f"((({t1}) + ({t2})) % {m64})")
-
-    def addm(a, b):
-        return u64(f"((CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT)) % {m64})")
-
-    def sm64(x):
-        # splitmix64 over a SMALL expression (column ref / lambda var only:
-        # textual expansion is ~32x the argument)
-        s1 = addm(x, a1)
-        s2 = f"xor({s1}, ({s1}) >> 30)"
-        s3 = mulc(s2, c2)
-        s4 = f"xor({s3}, ({s3}) >> 27)"
-        s5 = mulc(s4, c3)
-        s6 = f"xor({s5}, ({s5}) >> 31)"
-        return s6
+    u64, mulc, addm, sm64 = _u64_sql, _mulc_sql, _addm_sql, _sm64_sql
 
     # token-hash spec (kernels.py:99-143): first 8 bytes packed LE, then per
     # extra byte b: val = splitmix64(val)*POLY + b; final = splitmix64(val)
@@ -1588,6 +1610,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess
+        """,
+        # deterministic hash sample: the generated SQL replays the
+        # engine's splitmix64 bit-exactly (same construction the simhash
+        # oracle proves)
+        "hash_sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ({_sm64_sql("CAST(doc_id AS UBIGINT)")}) % 1000 < 100
+            ORDER BY doc_id
         """,
         # grouped top-k with the engine's (value DESC, id ASC) tie rule
         "top_docs_per_lang": """
