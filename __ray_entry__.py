@@ -60,6 +60,10 @@ def entry() -> Any:
 # ---------------------------------------------------------------- queries()
 
 def _q_exact_dup_groups(sf_dir: str):
+    """sha256 groups with >1 copy. 0 rows at the shipped sf dirs BY DATA
+    (the generator plants no byte-identical docs), not by bug — the
+    non-vacuous twin is `planted_dup_groups`, which runs this same stage
+    over driver-visible planted copies and returns >0 rows."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
@@ -136,7 +140,11 @@ def _q_media_wav_roundtrip(sf_dir: str):
         lambda t: t.rename_columns(
             ["doc_id" if c == "media_id" else c for c in t.column_names]),
         batch_format="pyarrow")
-    return out
+    return _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("n_samples", pa.int64()),
+        ("sample_sum", pa.int64()), ("sample_min", pa.int64()),
+        ("sample_max", pa.int64()),
+    ])).sort_by("doc_id")
 
 
 def _q_media_image_roundtrip(sf_dir: str):
@@ -148,10 +156,15 @@ def _q_media_image_roundtrip(sf_dir: str):
     from raydedup.stages.multimodal import docs_to_image, image_stats
     media = docs_to_image(
         _documents(sf_dir).select_columns(["doc_id", "text"]))
-    return image_stats(media).map_batches(
+    out = image_stats(media).map_batches(
         lambda t: t.rename_columns(
             ["doc_id" if c == "media_id" else c for c in t.column_names]),
         batch_format="pyarrow")
+    return _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("n_pixels", pa.int64()),
+        ("pixel_sum", pa.int64()), ("pixel_min", pa.int64()),
+        ("pixel_max", pa.int64()),
+    ])).sort_by("doc_id")
 
 
 def _q_media_video_roundtrip(sf_dir: str):
@@ -163,10 +176,15 @@ def _q_media_video_roundtrip(sf_dir: str):
     from raydedup.stages.multimodal import docs_to_y4m, video_stats
     media = docs_to_y4m(
         _documents(sf_dir).select_columns(["doc_id", "text"]))
-    return video_stats(media).map_batches(
+    out = video_stats(media).map_batches(
         lambda t: t.rename_columns(
             ["doc_id" if c == "media_id" else c for c in t.column_names]),
         batch_format="pyarrow")
+    return _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("n_pixels", pa.int64()),
+        ("pixel_sum", pa.int64()), ("pixel_min", pa.int64()),
+        ("pixel_max", pa.int64()),
+    ])).sort_by("doc_id")
 
 
 def _q_quality_filter(sf_dir: str):
@@ -566,7 +584,11 @@ def _q_substring_pairs(sf_dir: str):
     (stages/containment.py): every pair with containment >= 0.9 shares one
     of the smaller doc's floor(0.1*n)+1 smallest shingles with the larger
     doc (pigeonhole), so candidacy is deterministic — recall 1.0 vs the
-    exhaustive SQL (the LSH-piggybacked pass under-reported at low J)."""
+    exhaustive SQL (the LSH-piggybacked pass under-reported at low J).
+    0 rows at the shipped sf dirs BY DATA (no containment pairs exist in
+    the generated corpus), not by bug — the non-vacuous twin is
+    `planted_substring_pairs`, which runs this same stage over planted
+    prefix-copies and returns >0 rows."""
     from raydedup.stages.containment import containment_pairs
     from raydedup.stages.ingest import ingest
     from raydedup.stages.signatures import compute_signatures
@@ -1420,11 +1442,18 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.top_line_count, 0) AS top_line_count
             FROM documents d LEFT JOIN A a USING (doc_id)
         """,
+        # CASTs pin the oracle's Arrow types to int64: DuckDB's
+        # list_aggregate 'sum' yields HUGEINT (decimal128) and 'min'/'max'
+        # INTEGER, which the driver's type-tagged value hash would reject
+        # even on equal values (round-3 hash_match miss).
         "media_wav_roundtrip": r"""
-            SELECT doc_id, len(cps) AS n_samples,
-                   coalesce(list_aggregate(cps, 'sum'), 0) AS sample_sum,
-                   coalesce(list_aggregate(cps, 'min'), 0) AS sample_min,
-                   coalesce(list_aggregate(cps, 'max'), 0) AS sample_max
+            SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_samples,
+                   CAST(coalesce(list_aggregate(cps, 'sum'), 0) AS BIGINT)
+                       AS sample_sum,
+                   CAST(coalesce(list_aggregate(cps, 'min'), 0) AS BIGINT)
+                       AS sample_min,
+                   CAST(coalesce(list_aggregate(cps, 'max'), 0) AS BIGINT)
+                       AS sample_max
             FROM (SELECT doc_id,
                          list_transform(
                              list_filter(
@@ -1433,12 +1462,16 @@ def oracle_sql() -> dict[str, str]:
                                  c -> c <> ''),
                              c -> unicode(c) % 251) AS cps
                   FROM documents)
+            ORDER BY doc_id
         """,
         "media_image_roundtrip": r"""
-            SELECT doc_id, len(cps) AS n_pixels,
-                   coalesce(list_aggregate(cps, 'sum'), 0) AS pixel_sum,
-                   coalesce(list_aggregate(cps, 'min'), 0) AS pixel_min,
-                   coalesce(list_aggregate(cps, 'max'), 0) AS pixel_max
+            SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_pixels,
+                   CAST(coalesce(list_aggregate(cps, 'sum'), 0) AS BIGINT)
+                       AS pixel_sum,
+                   CAST(coalesce(list_aggregate(cps, 'min'), 0) AS BIGINT)
+                       AS pixel_min,
+                   CAST(coalesce(list_aggregate(cps, 'max'), 0) AS BIGINT)
+                       AS pixel_max
             FROM (SELECT doc_id,
                          list_transform(
                              list_filter(
@@ -1447,12 +1480,16 @@ def oracle_sql() -> dict[str, str]:
                                  c -> c <> ''),
                              c -> unicode(c) % 256) AS cps
                   FROM documents)
+            ORDER BY doc_id
         """,
         "media_video_roundtrip": r"""
-            SELECT doc_id, len(cps) AS n_pixels,
-                   coalesce(list_aggregate(cps, 'sum'), 0) AS pixel_sum,
-                   coalesce(list_aggregate(cps, 'min'), 0) AS pixel_min,
-                   coalesce(list_aggregate(cps, 'max'), 0) AS pixel_max
+            SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_pixels,
+                   CAST(coalesce(list_aggregate(cps, 'sum'), 0) AS BIGINT)
+                       AS pixel_sum,
+                   CAST(coalesce(list_aggregate(cps, 'min'), 0) AS BIGINT)
+                       AS pixel_min,
+                   CAST(coalesce(list_aggregate(cps, 'max'), 0) AS BIGINT)
+                       AS pixel_max
             FROM (SELECT doc_id,
                          list_transform(
                              list_filter(
@@ -1461,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
                                  c -> c <> ''),
                              c -> unicode(c) % 256) AS cps
                   FROM documents)
+            ORDER BY doc_id
         """,
         "quality_filter": r"""
             WITH q AS (
@@ -1724,7 +1762,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id AS event_id, l.user_id AS key,
                    l.ts_us AS ts_us,
                    count(r.ts_us) AS n_in_window,
-                   COALESCE(sum(r.cents), 0) AS sum_scaled
+                   CAST(COALESCE(sum(r.cents), 0) AS BIGINT) AS sum_scaled
             FROM l LEFT JOIN r
               ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
                  AND r.ts_us > l.ts_us - 86400000000
@@ -1897,7 +1935,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, MIN(pos) AS a, MAX(pos) + {_NGRAM_K} AS b
               FROM s GROUP BY doc_id, grp
             )
-            SELECT doc_id, SUM(b - a) AS dup_chars
+            SELECT doc_id, CAST(SUM(b - a) AS BIGINT) AS dup_chars
             FROM sp GROUP BY doc_id ORDER BY doc_id
         """,
         "dup_clusters": f"""
