@@ -131,8 +131,12 @@ def main(argv: list[str] | None = None) -> int:
             "new_signatures": inc.new_signatures,
         }
     else:
+        # --write-signatures output must be a SELF-CONTAINED stored base
+        # (a later --base-sigs run reads its shingles column), so it forces
+        # the full signature schema; plain runs use the lean table
         res = run_on_parquet(args.input, cfg, issues_to_detect=issues,
-                             ckpt_dir=args.ckpt_dir)
+                             ckpt_dir=args.ckpt_dir,
+                             store_shingles=args.write_signatures)
         from raydedup.stages.cluster import keep_representatives
         surfaces = {
             "verified_pairs": res.verified_pairs,

@@ -105,6 +105,7 @@ def run_pipeline(code_files: ray.data.Dataset,
                  ckpt_dir: Optional[str] = None,
                  input_token: str = "",
                  pre_blocked: bool = False,
+                 store_shingles: bool = False,
                  ) -> DedupResult:
     """Flagship run. With ckpt_dir set, every wide-stage output is written to
     per-stage Parquet with a lineage manifest; a rerun with the same config +
@@ -114,7 +115,16 @@ def run_pipeline(code_files: ray.data.Dataset,
     (e.g. read with override_num_blocks — see run_on_parquet), letting the
     pipeline skip its content repartition barrier so the read fuses straight
     into ingest+signatures and the raw content never enters the object
-    store."""
+    store.
+
+    store_shingles=False (default): the materialized signature table is
+    LEAN — the packed shingle-set column (~87% of the table's bytes at
+    ~940 mean shingles/doc) is never stored; verification recomputes exact
+    shingle sets from content for the candidate-touched subset only
+    (verify.verify_pairs(shingle_source=...); bit-identical results, same
+    kernels). Pass True when the signature table itself is the product a
+    later self-contained run needs (CLI --write-signatures feeding
+    --base-sigs)."""
     cfg = cfg or EngineConfig()
     issues = {IssueType.canonical(i) for i in issues_to_detect}
 
@@ -207,13 +217,16 @@ def run_pipeline(code_files: ray.data.Dataset,
         # without it a checkpointed run feeds the signature stage the read
         # stage's hundreds of near-empty blocks (the measured per-task-
         # overhead regression the non-ckpt comment below documents)
-        from raydedup.schema import SIGNATURES
+        from raydedup.schema import SIGNATURES, SIGNATURES_LEAN
         sigs = ckpt.partitioned_stage(
-            "signatures",
+            # lean tables get their own stage name: a resume must never mix
+            # partition files written under the other schema
+            "signatures" if store_shingles else "signatures-lean",
             lambda: I.ingest(_sized),
-            lambda ds: _with_part(S.compute_signatures(ds, cfg)),
+            lambda ds: _with_part(S.compute_signatures(
+                ds, cfg, with_shingles=store_shingles)),
             num_parts=P, chunk_parts=cfg.ckpt_chunk_parts,
-            empty_schema=SIGNATURES)
+            empty_schema=SIGNATURES if store_shingles else SIGNATURES_LEAN)
         _lap("signatures")
     else:
         # repartition the raw content BEFORE the signature stage rather than
@@ -223,7 +236,13 @@ def run_pipeline(code_files: ray.data.Dataset,
         # 16 CPUs signatures 11.6 s vs 14.2 s, 4 CPUs total 46.7 s vs
         # 70.6 s).
         sigs = staged("signatures",
-                      lambda: S.compute_signatures(I.ingest(_sized), cfg))
+                      lambda: S.compute_signatures(
+                          I.ingest(_sized), cfg,
+                          with_shingles=store_shingles))
+    # verify-time shingle source for lean runs: the (id, content)
+    # projection of the sized input (lazy — re-executes the pruned read
+    # only over the candidate-touched semi-filter)
+    shingle_src = None if store_shingles else I.ids_and_content(_sized)
 
     # exact-dup fast path (SURVEY §2.7) + one representative per distinct
     # content for the near-dup plane (consumed by candidates AND verify)
@@ -271,7 +290,8 @@ def run_pipeline(code_files: ray.data.Dataset,
                                       batch_format="pyarrow"),
             # full sigs, not the rep projection: candidate pairs reference
             # representative ids only, and verify filters to pair members
-            lambda ds: _with_pair_part(V.verify_pairs(ds, sigs, cfg)),
+            lambda ds: _with_pair_part(V.verify_pairs(
+                ds, sigs, cfg, shingle_source=shingle_src)),
             num_parts=P, chunk_parts=cfg.ckpt_chunk_parts,
             key_col="ckpt_key",
             empty_schema=pa.schema(V.VERIFIED_FIELDS))
@@ -283,7 +303,7 @@ def run_pipeline(code_files: ray.data.Dataset,
             expand_to_members(
                 V.verify_pairs(C.candidate_pairs(rep_cand, cfg,
                                                  n_rows=n_reps),
-                               sigs, cfg),
+                               sigs, cfg, shingle_source=shingle_src),
                 sha_sort, cfg)))
 
     result = DedupResult(cfg=cfg,
@@ -347,7 +367,8 @@ def run_pipeline(code_files: ray.data.Dataset,
 
 def run_on_parquet(path: str, cfg: Optional[EngineConfig] = None,
                    issues_to_detect: Sequence[IssueType] = DEFAULT_ISSUES,
-                   ckpt_dir: Optional[str] = None) -> DedupResult:
+                   ckpt_dir: Optional[str] = None,
+                   store_shingles: bool = False) -> DedupResult:
     """Flagship entry (analog of run_on_image_folder, selfclean.py:127-173).
 
     Sizes the read's blocks at the source so run_pipeline can skip its
@@ -363,4 +384,5 @@ def run_on_parquet(path: str, cfg: Optional[EngineConfig] = None,
     except Exception:
         pre = False
     return run_pipeline(src, cfg, issues_to_detect,
-                        ckpt_dir=ckpt_dir, input_token=path, pre_blocked=pre)
+                        ckpt_dir=ckpt_dir, input_token=path, pre_blocked=pre,
+                        store_shingles=store_shingles)

@@ -44,6 +44,14 @@ SIGNATURES = pa.schema([
     ("simhash", pa.int64()),
 ])
 
+# lean signature table (with_shingles=False): the flagship drops the packed
+# shingle-set column — ~87% of the table's bytes — and recomputes exact
+# shingle sets at verify time for the candidate-touched subset only
+# (signatures.compute_shingle_sets). Stored-signature surfaces that must be
+# self-contained (the incremental plane) keep the full SIGNATURES schema.
+SIGNATURES_LEAN = pa.schema(
+    [f for f in SIGNATURES if f.name != "shingles"])
+
 BAND_ROWS = pa.schema([
     ("band_key", pa.int64()),
     ("salt", pa.int32()),

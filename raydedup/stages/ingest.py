@@ -60,31 +60,38 @@ def _hash_rows(col: pa.Array, algo) -> list:
     return out
 
 
+def _attach_id(batch: pa.Table) -> pa.Table:
+    """Attach row identity when absent: 63-bit blake2b of
+    repo \\x00 path \\x00 commit."""
+    import hashlib
+
+    if "id" in batch.column_names:
+        return batch
+    joined = pc.binary_join_element_wise(
+        pc.cast(batch.column("repo"), pa.string()),
+        pc.cast(batch.column("path"), pa.string()),
+        pc.cast(batch.column("commit"), pa.string()), "\x00")
+    jcol = joined.combine_chunks() \
+        if isinstance(joined, pa.ChunkedArray) else joined
+    bufs = jcol.buffers()
+    offs = np.frombuffer(bufs[1], dtype="int32")[
+        jcol.offset: jcol.offset + len(jcol) + 1].astype(np.int64)
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    digests = b"".join(
+        hashlib.blake2b(mv[offs[i]:offs[i + 1]], digest_size=8).digest()
+        for i in range(len(jcol)))
+    ids = (np.frombuffer(digests, dtype="<u8") & np.uint64(K.MASK63)) \
+        .astype(np.int64)
+    return batch.append_column("id", pa.array(ids, pa.int64()))
+
+
 def _ingest_batch(batch: pa.Table) -> pa.Table:
     import hashlib
 
     content = batch.column("content")
     sha = _hash_rows(content, hashlib.sha256)
     n_bytes = pc.binary_length(pc.cast(content, pa.large_binary()))
-    out = batch
-    if "id" not in out.column_names:
-        # row identity = 63-bit blake2b of repo \x00 path \x00 commit
-        joined = pc.binary_join_element_wise(
-            pc.cast(batch.column("repo"), pa.string()),
-            pc.cast(batch.column("path"), pa.string()),
-            pc.cast(batch.column("commit"), pa.string()), "\x00")
-        jcol = joined.combine_chunks() \
-            if isinstance(joined, pa.ChunkedArray) else joined
-        bufs = jcol.buffers()
-        offs = np.frombuffer(bufs[1], dtype="int32")[
-            jcol.offset: jcol.offset + len(jcol) + 1].astype(np.int64)
-        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-        digests = b"".join(
-            hashlib.blake2b(mv[offs[i]:offs[i + 1]], digest_size=8).digest()
-            for i in range(len(jcol)))
-        ids = (np.frombuffer(digests, dtype="<u8") & np.uint64(K.MASK63)) \
-            .astype(np.int64)
-        out = out.append_column("id", pa.array(ids, pa.int64()))
+    out = _attach_id(batch)
     out = out.append_column("content_sha256", pa.array(sha, pa.string()))
     out = out.append_column("n_bytes", pc.cast(n_bytes, pa.int64()))
     return out
@@ -93,6 +100,18 @@ def _ingest_batch(batch: pa.Table) -> pa.Table:
 def ingest(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Attach id + content_sha256 + n_bytes. Stateless tasks, Arrow batches."""
     return ds.map_batches(_ingest_batch, batch_format="pyarrow")
+
+
+def ids_and_content(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(id, content) projection of the raw input — the verify-time shingle
+    source for lean signature runs. Attaches the same blake2b row identity
+    as ingest but SKIPS the sha256 content digest (the expensive per-row
+    hash), since the shingle recompute only needs id + content."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _attach_id(batch).select(["id", "content"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def docs_to_code(ds: ray.data.Dataset) -> ray.data.Dataset:

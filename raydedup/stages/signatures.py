@@ -25,11 +25,20 @@ class SignatureActor:
     """Actor-pool callable: (ingested batch) -> signature rows.
 
     with_simhash=False by default: the SimHash bit-vote is ~60% of the warm
-    per-batch cost and only the simhash_pairs pipeline consumes it."""
+    per-batch cost and only the simhash_pairs pipeline consumes it.
 
-    def __init__(self, cfg: EngineConfig, with_simhash: bool = False):
+    with_shingles=False drops the packed shingle-set column — 87% of the
+    signature table's bytes (measured ~7.5 KB of 8.7 KB/row at ~940 mean
+    shingles) — for callers that re-derive exact-verify shingle sets from
+    content for the candidate-touched subset only (see
+    verify.verify_pairs(shingle_source=...)); the minhash math is identical
+    either way (it consumes the same sorted-unique intermediates)."""
+
+    def __init__(self, cfg: EngineConfig, with_simhash: bool = False,
+                 with_shingles: bool = True):
         self.cfg = cfg
         self.with_simhash = with_simhash
+        self.with_shingles = with_shingles
         # stateful setup, once per actor (not per batch)
         self.perm = K.perm_seeds(cfg.minhash.num_perm, cfg.minhash.seed)
 
@@ -53,22 +62,25 @@ class SignatureActor:
 
         n_shingles = (uoffs[1:] - uoffs[:-1]).astype(np.int64)
         # prepend 0 back: uoffs already has n+1 entries
-        return pa.table({
+        cols = {
             "id": batch.column("id"),
             "content_sha256": batch.column("content_sha256"),
             "lang": batch.column("lang"),
             "n_shingles": pa.array(n_shingles, pa.int64()),
             "minhash": pack_u64_2d(sig),
-            "shingles": pack_u64_ragged(uflat, uoffs),
-            # reinterpret-cast: groupable int64, bit pattern preserved
-            "simhash": pa.array(sim.view(np.int64), pa.int64()),
-        })
+        }
+        if self.with_shingles:
+            cols["shingles"] = pack_u64_ragged(uflat, uoffs)
+        # reinterpret-cast: groupable int64, bit pattern preserved
+        cols["simhash"] = pa.array(sim.view(np.int64), pa.int64())
+        return pa.table(cols)
 
 
 _TASK_STATE: dict = {}
 
 
-def _signature_task(cfg: EngineConfig, with_simhash: bool):
+def _signature_task(cfg: EngineConfig, with_simhash: bool,
+                    with_shingles: bool = True):
     """Stateless-task variant: the per-worker state (permutation seeds +
     token-hash cache) is tiny, so plain tasks beat an actor pool — no pool
     spin-up/ramp, elastic scheduling. State is memoized per worker process
@@ -79,10 +91,10 @@ def _signature_task(cfg: EngineConfig, with_simhash: bool):
         # cfg.shingle.k / lowercase, so a (num_perm, seed)-only key let a
         # warm worker silently reuse a stale shingle configuration across
         # jobs with different shingle settings
-        key = (cfg, with_simhash)
+        key = (cfg, with_simhash, with_shingles)
         actor = _TASK_STATE.get(key)
         if actor is None:
-            actor = SignatureActor(cfg, with_simhash)
+            actor = SignatureActor(cfg, with_simhash, with_shingles)
             _TASK_STATE[key] = actor
         return actor(batch)
 
@@ -90,7 +102,8 @@ def _signature_task(cfg: EngineConfig, with_simhash: bool):
 
 
 def compute_signatures(ingested: ray.data.Dataset, cfg: EngineConfig,
-                       with_simhash: bool = False) -> ray.data.Dataset:
+                       with_simhash: bool = False,
+                       with_shingles: bool = True) -> ray.data.Dataset:
     """Signature stage as stateless map_batches tasks over Arrow batches.
 
     An actor pool here costs pool spin-up + ramp for state that is only a
@@ -98,9 +111,33 @@ def compute_signatures(ingested: ray.data.Dataset, cfg: EngineConfig,
     module-global cache instead. (A true model-loading stage WOULD use an
     actor pool — see multimodal.decode_features.)"""
     return ingested.map_batches(
-        _signature_task(cfg, with_simhash),
+        _signature_task(cfg, with_simhash, with_shingles),
         batch_format="pyarrow",
         batch_size=cfg.sig_batch_size,
         num_cpus=1,
         zero_copy_batch=True,
     )
+
+
+def compute_shingle_sets(id_content: ray.data.Dataset,
+                         cfg: EngineConfig) -> ray.data.Dataset:
+    """(id, content) rows -> (id, shingles packed u64) rows: the exact-verify
+    shingle sets alone, re-derived from content with the SAME kernels the
+    signature stage runs (tokenize -> k-shingle -> segmented sorted-unique),
+    so a recomputed set is bit-identical to a stored one. Used by
+    verify.verify_pairs(shingle_source=...) on the candidate-touched subset
+    when the signature table was built with with_shingles=False."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, offs = K.tokenize_hash_arrow(batch.column("content"),
+                                           lowercase=cfg.shingle.lowercase)
+        sh, so = K.shingle_hashes(flat, offs, cfg.shingle.k)
+        uflat, uoffs = K.segmented_unique(sh, so)
+        return pa.table({
+            "id": batch.column("id"),
+            "shingles": pack_u64_ragged(uflat, uoffs),
+        })
+
+    return id_content.map_batches(
+        fn, batch_format="pyarrow", batch_size=cfg.sig_batch_size,
+        num_cpus=1, zero_copy_batch=True)

@@ -178,6 +178,63 @@ def _semi_filter_to_ids(ds: ray.data.Dataset,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _gather_segments(flat: np.ndarray, offsets: np.ndarray,
+                     order: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Reorder a ragged (flat, offsets) array so segment i of the output is
+    segment order[i] of the input — one vectorized fancy-index gather."""
+    starts = offsets[order]
+    lens = offsets[order + 1] - starts
+    noffs = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(lens, out=noffs[1:])
+    if noffs[-1] == 0:
+        return flat[:0], noffs
+    pos = np.arange(noffs[-1], dtype=np.int64) \
+        - np.repeat(noffs[:-1], lens) + np.repeat(starts, lens)
+    return flat[pos], noffs
+
+
+def _assemble_broadcast2(num_perm: int, lo, hi, n_mh_blocks: int, *blocks):
+    """Two-source variant of _assemble_broadcast for lean signature tables
+    (with_shingles=False): the first n_mh_blocks refs are (id, minhash)
+    blocks, the rest are (id, shingles) blocks RECOMPUTED from content for
+    the same candidate-touched id set (signatures.compute_shingle_sets).
+    The shingle segments are gathered into the minhash side's row order, so
+    the returned tuple has the exact single-source layout and the scoring
+    lookup is unchanged."""
+    mh_blocks = blocks[:n_mh_blocks]
+    sh_blocks = blocks[n_mh_blocks:]
+    ids_m, perm, mh, _, _ = _assemble_broadcast(
+        num_perm, lo, hi, *mh_blocks)
+    from raydedup.util import unpack_u64_flat
+    kept = []
+    for b in sh_blocks:
+        if not b.num_rows:
+            continue
+        ids = b.column("id").to_numpy(zero_copy_only=False)
+        m = np.ones(len(ids), dtype=bool)
+        if lo is not None:
+            m &= ids >= lo
+        if hi is not None:
+            m &= ids < hi
+        if m.any():
+            kept.append(b.filter(pa.array(m)))
+    if not kept:
+        return ids_m, perm, mh, np.empty(0, np.uint64), \
+            np.zeros(len(ids_m) + 1, np.int64)
+    sub = kept[0] if len(kept) == 1 else \
+        pa.concat_tables(kept, promote_options="default")
+    sh_ids = sub.column("id").to_numpy(zero_copy_only=False)
+    flat, offs = unpack_u64_flat(sub.column("shingles"))
+    # row r of the mh side holds id ids_m[inv[r]] (inv = sorted position of
+    # r); its shingle segment lives at sh row sperm[inv[r]] — both sides
+    # were filtered to the same id set, so the sorted id orders coincide
+    sperm = np.argsort(sh_ids, kind="stable")
+    inv = np.empty(len(perm), dtype=np.int64)
+    inv[perm] = np.arange(len(perm), dtype=np.int64)
+    gflat, goffs = _gather_segments(flat, offs, sperm[inv])
+    return ids_m, perm, mh, gflat, goffs
+
+
 def _assemble_broadcast(num_perm: int, lo, hi, *blocks):
     """Remote body: filtered signature blocks -> one broadcast lookup tuple
     (sorted_ids, perm, minhash 2D, shingle flat, shingle offsets). Runs as a
@@ -223,40 +280,74 @@ def _assemble_broadcast(num_perm: int, lo, hi, *blocks):
     # row for id x = perm[searchsorted(sorted_ids, x)]
     perm = np.argsort(ids_orig)
     mh = unpack_u64_2d(sub.column("minhash"), num_perm)
-    sh_flat, sh_offsets = unpack_u64_flat(sub.column("shingles"))
+    if "shingles" in sub.column_names:
+        sh_flat, sh_offsets = unpack_u64_flat(sub.column("shingles"))
+    else:
+        # lean (minhash-only) blocks: _assemble_broadcast2 attaches the
+        # recomputed shingle side itself
+        sh_flat = np.empty(0, np.uint64)
+        sh_offsets = np.zeros(len(ids_orig) + 1, np.int64)
     return ids_orig[perm], perm, mh, sh_flat, sh_offsets
 
 
 def _broadcast_verify(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                       cfg: EngineConfig,
-                      force_exact: bool = False) -> ray.data.Dataset:
+                      force_exact: bool = False,
+                      shingle_source: ray.data.Dataset | None = None
+                      ) -> ray.data.Dataset:
     """Join-free verification: the signature subset touched by candidates is
     filtered distributedly, assembled into ONE broadcast object by a single
     Ray task over the filtered blocks' object refs (never transiting the
     driver), and looked up per pair batch with searchsorted. Kills two
     hash-join shuffles whose aggregator-actor spin-up dominates wall time
     when the candidate set is small (the common case:
-    candidates << corpus)."""
+    candidates << corpus).
+
+    With a lean signature table (no `shingles` column), shingle_source must
+    be the (id, content) projection of the ingested input: the exact-verify
+    shingle sets are recomputed for the candidate-touched subset only
+    (signatures.compute_shingle_sets — same kernels, bit-identical sets),
+    so the full corpus never materializes its ~87%-of-bytes shingle
+    payload."""
     import ray
 
+    has_shingles = shingle_source is None
     cand_ids = _pair_touched_ids(pairs)
+    proj_cols = ["id", "minhash", "shingles"] if has_shingles \
+        else ["id", "minhash"]
     sub = _semi_filter_to_ids(
-        sigs.select_columns(["id", "minhash", "shingles"]),
-        cand_ids).materialize()
+        sigs.select_columns(proj_cols), cand_ids).materialize()
     if sub.count() == 0:
         return empty_verified()
+    sub_sh = None
+    payload_bytes = sub.size_bytes()
+    if not has_shingles:
+        from raydedup.stages.signatures import compute_shingle_sets
+        sub_sh = compute_shingle_sets(
+            _semi_filter_to_ids(shingle_source, cand_ids),
+            cfg).materialize()
+        payload_bytes += sub_sh.size_bytes()
     # shard the assembly by id range (~256 MB payload per shard): the copy
     # into the broadcast object is fault-bound on /dev/shm at a few hundred
     # MB/s per stream, so P parallel shard tasks replace one serial task
     n_shards = int(np.clip(
-        sub.size_bytes() // max(1, cfg.verify.broadcast_shard_bytes), 1, 16))
+        payload_bytes // max(1, cfg.verify.broadcast_shard_bytes), 1, 16))
     bounds = cand_ids[(np.arange(1, n_shards) * len(cand_ids)) // n_shards] \
         if n_shards > 1 else np.empty(0, dtype=cand_ids.dtype)
     los = [None] + list(bounds)
     his = list(bounds) + [None]
-    asm = ray.remote(num_cpus=1)(_assemble_broadcast)
-    refs = [asm.remote(cfg.minhash.num_perm, lo, hi, *sub.to_arrow_refs())
-            for lo, hi in zip(los, his)]
+    if has_shingles:
+        asm = ray.remote(num_cpus=1)(_assemble_broadcast)
+        refs = [asm.remote(cfg.minhash.num_perm, lo, hi,
+                           *sub.to_arrow_refs())
+                for lo, hi in zip(los, his)]
+    else:
+        mh_refs = sub.to_arrow_refs()
+        sh_refs = sub_sh.to_arrow_refs()
+        asm = ray.remote(num_cpus=1)(_assemble_broadcast2)
+        refs = [asm.remote(cfg.minhash.num_perm, lo, hi, len(mh_refs),
+                           *mh_refs, *sh_refs)
+                for lo, hi in zip(los, his)]
     P = len(refs)
 
     def score(t: pa.Table) -> pa.Table:
@@ -332,23 +423,63 @@ def _broadcast_bytes_ok(n_pairs: int, sigs: ray.data.Dataset,
 
 def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                  cfg: EngineConfig,
-                 force_exact: bool = False) -> ray.data.Dataset:
+                 force_exact: bool = False,
+                 shingle_source: ray.data.Dataset | None = None
+                 ) -> ray.data.Dataset:
     """Candidate pairs + signatures -> verified pair Dataset
     (id_a, id_b, est_jaccard, jaccard, distance), jaccard >= threshold.
 
     Small candidate sets (<= cfg.broadcast_id_limit ids) take the broadcast
     path (no shuffle); larger sets fall back to two hash-partitioned joins.
     force_exact bypasses the est-Jaccard prefilter (containment candidates
-    exist precisely because their est-J is low)."""
+    exist precisely because their est-J is low).
+
+    shingle_source: required iff `sigs` is a LEAN signature table (built
+    with with_shingles=False) — the (id, content) projection the exact
+    shingle sets are recomputed from, candidate-touched rows only."""
     pairs = pairs.materialize()
     n = pairs.count()
     if n == 0:
         # empty groupby outputs lose their schema in Ray Data and break the
         # downstream hash join — short-circuit with a typed empty Dataset
         return empty_verified()
+    sig_schema = sigs.schema()
+    has_shingles = sig_schema is None or "shingles" in sig_schema.names
+    if not has_shingles and shingle_source is None:
+        raise ValueError("verify_pairs: lean signature table (no shingles "
+                         "column) requires shingle_source=(id, content)")
+    src = None if has_shingles else shingle_source
     if 2 * n <= cfg.broadcast_id_limit and \
             _broadcast_bytes_ok(n, sigs, cfg):
-        return _broadcast_verify(pairs, sigs, cfg, force_exact)
+        return _broadcast_verify(pairs, sigs, cfg, force_exact,
+                                 shingle_source=src)
+    if not has_shingles:
+        # join fallback for lean tables: recompute the shingle sets (for the
+        # candidate-touched subset when it is still id-list-small, the whole
+        # corpus beyond — the same bytes a stored column would move) and
+        # join them onto the minhash projection by id
+        from raydedup.stages.signatures import compute_shingle_sets
+        mh_proj = sigs.select_columns(["id", "minhash"])
+        sh_src = shingle_source
+        if 2 * n <= cfg.broadcast_id_limit:
+            touched = _pair_touched_ids(pairs)
+            mh_proj = _semi_filter_to_ids(mh_proj, touched)
+            sh_src = _semi_filter_to_ids(sh_src, touched)
+        sh_ds = compute_shingle_sets(sh_src, cfg) \
+            .rename_columns({"id": "sh_id"})
+        proj = hash_join(mh_proj, sh_ds, on="id", right_on="sh_id",
+                         num_partitions=cfg.join_num_partitions) \
+            .materialize()
+        j1 = hash_join(pairs, proj, on="id_a", right_on="id",
+                       num_partitions=cfg.join_num_partitions)
+        j1 = j1.rename_columns({"minhash": "minhash_a",
+                                "shingles": "shingles_a"}).materialize()
+        j2 = hash_join(j1, proj, on="id_b", right_on="id",
+                       num_partitions=cfg.join_num_partitions)
+        j2 = j2.rename_columns({"minhash": "minhash_b",
+                                "shingles": "shingles_b"})
+        return j2.map_batches(_score_batch(cfg, force_exact),
+                              batch_format="pyarrow")
     proj = sigs.select_columns(["id", "minhash", "shingles"])
     # The join path is entered when the candidate-touched PAYLOAD exceeds
     # the broadcast byte gate — but the candidate ID LIST is ints only

@@ -4,15 +4,15 @@ windowing the task brief calls for, over the driver `events` table).
 
 Ray Data has no event-time windows; tumbling windows are expressed as a
 grouped aggregate on (key, floor(ts / width)) — a single hash shuffle —
-and session windows as per-key sorted gap-splitting inside map_groups
-(ordering assumption: within one key group, rows are sorted by ts before
-sessionizing; stated per the ray guide's streaming-shaped pattern).
+and session windows as one global (key, ts) sort + a vectorized per-batch
+gap-split, with at most two edge-session summaries per batch stitched in
+a driver-side merge scan (no per-key map_groups anywhere; hot keys cost
+O(#batches) summary rows, never their raw rows).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -97,11 +97,18 @@ def session_windows(events: ray.data.Dataset, gap_s: int,
     """-> (key, session_start, session_end, n_events).
 
     A session breaks when the gap to the previous event of the same key
-    exceeds gap_s. Execution: ONE global sort by (key, ts) + vectorized
-    gap-splitting per sorted block — no per-key Python/pandas (a hot key
-    would make a map_groups variant unbounded). A key's run can straddle
-    blocks, so each block's first and last key-runs are finished in a small
-    second pass (driver re-scan; candidates.run_minima boundary scheme)."""
+    exceeds gap_s. Execution: ONE global sort by (key, ts), then each
+    sorted batch is sessionized with the vectorized run-scan. Every
+    session of a batch except the FIRST and LAST is provably final (only
+    the batch's leading session can extend into the previous batch and
+    only its trailing session into the next), so each batch emits its
+    interior sessions directly and ships at most TWO edge-session
+    summaries (key, start, end, n) to the driver, where a second
+    vectorized merge scan stitches fragments whose inter-fragment gap is
+    within gap_s. Driver data is O(#batches) regardless of key skew — a
+    hot key spanning many blocks costs two summary rows per batch, never
+    its raw rows — so there is no collect cap and no per-key map_groups
+    fallback anywhere on this path."""
 
     def to_secs(t: pa.Table) -> pa.Table:
         ts_us = t.column(ts_col).cast(pa.int64())
@@ -113,63 +120,75 @@ def session_windows(events: ray.data.Dataset, gap_s: int,
     srt = events.select_columns([key, ts_col]) \
         .map_batches(to_secs, batch_format="pyarrow") \
         .sort([key, "_ts_s"]).materialize()
+    ktype = dict(zip(srt.schema().names, srt.schema().types))[key]
 
-    def _runs_of(t: pa.Table):
+    def _batch_sessions(t: pa.Table, keep: str) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         ts = t.column("_ts_s").to_numpy(zero_copy_only=False)
-        if len(k) == 0:
-            return k, ts, np.empty(0, np.int64), np.empty(0, np.int64)
-        starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
-        return k, ts, starts, np.r_[starts[1:], len(k)]
+        sess = _sessionize_wrapped(k, ts, gap_s, key,
+                                   key_type=t.schema.field(key).type)
+        m = sess.num_rows
+        if keep == "interior":
+            return sess.slice(1, max(0, m - 2))
+        # edge: first + last session (one row when they coincide)
+        if m == 0:
+            return sess
+        idx = [0] if m == 1 else [0, m - 1]
+        return pa.concat_tables([sess.slice(i, 1) for i in idx])
 
-    def interior(t: pa.Table) -> pa.Table:
-        k, ts, starts, ends = _runs_of(t)
-        ktype = t.schema.field(key).type
-        if len(starts) <= 2:
-            return _sessionize_wrapped(np.empty(0, np.int64),
-                                       np.empty(0, np.int64), gap_s, key,
-                                       key_type=ktype)
-        lo, hi = starts[1], ends[-2]
-        return _sessionize_wrapped(k[lo:hi], ts[lo:hi], gap_s, key,
-                                   key_type=ktype)
-
-    def boundary(t: pa.Table) -> pa.Table:
-        k, ts, starts, ends = _runs_of(t)
-        if len(starts) == 0:
-            return pa.table({key: pa.array([], t.schema.field(key).type),
-                             "_ts_s": pa.array([], pa.int64())})
-        take = np.r_[np.arange(starts[0], ends[0]),
-                     np.arange(starts[-1], ends[-1])] if len(starts) > 1 \
-            else np.arange(starts[0], ends[0])
-        take = np.unique(take)
-        return pa.table({key: pa.array(k[take]),
-                         "_ts_s": pa.array(ts[take], pa.int64())})
-
-    inner = srt.map_batches(interior, batch_format="pyarrow")
-    brows = srt.map_batches(boundary, batch_format="pyarrow")
-    from raydedup.stages.candidates import DRIVER_SMALL_LIMIT
-    from raydedup.util import collect_up_to
-    btbl = collect_up_to(brows, DRIVER_SMALL_LIMIT)
-    if btbl is not None and btbl.num_rows and key in btbl.column_names:
-        st = btbl.sort_by([(key, "ascending"), ("_ts_s", "ascending")])
-        bout = ray.data.from_arrow(_sessionize_wrapped(
-            st.column(key).to_numpy(zero_copy_only=False),
-            st.column("_ts_s").to_numpy(zero_copy_only=False), gap_s, key))
-    elif btbl is not None:
-        ktype = dict(zip(srt.schema().names, srt.schema().types))[key]
-        bout = ray.data.from_arrow(_sessionize_wrapped(
-            np.empty(0, np.int64), np.empty(0, np.int64), gap_s, key,
-            key_type=ktype))
+    inner = srt.map_batches(lambda t: _batch_sessions(t, "interior"),
+                            batch_format="pyarrow")
+    edges = srt.map_batches(lambda t: _batch_sessions(t, "edge"),
+                            batch_format="pyarrow")
+    # <= 2 summary rows per batch by construction: bounded driver collect
+    ebatches = [b for b in edges.iter_batches(batch_format="pyarrow",
+                                              batch_size=1 << 20)
+                if b.num_rows]
+    etbl = pa.concat_tables(ebatches) if ebatches else None
+    if etbl is None or etbl.num_rows == 0:
+        merged = _sessionize_wrapped(np.empty(0, np.int64),
+                                     np.empty(0, np.int64), gap_s, key,
+                                     key_type=ktype)
     else:
-        def per_group(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values("_ts_s")
-            out = _sessionize_wrapped(
-                g[key].to_numpy(), g["_ts_s"].to_numpy(), gap_s, key)
-            return out.to_pandas()
+        st = etbl.sort_by([(key, "ascending"),
+                           ("session_start", "ascending")])
+        merged = _merge_session_fragments(
+            st.column(key).to_numpy(zero_copy_only=False),
+            st.column("session_start").to_numpy(zero_copy_only=False),
+            st.column("session_end").to_numpy(zero_copy_only=False),
+            st.column("n_events").to_numpy(zero_copy_only=False),
+            gap_s, key, key_type=ktype)
+    return inner.union(ray.data.from_arrow(merged))
 
-        bout = brows.groupby(key).map_groups(per_group,
-                                             batch_format="pandas")
-    return inner.union(bout)
+
+def _merge_session_fragments(uid: np.ndarray, starts: np.ndarray,
+                             ends: np.ndarray, ns: np.ndarray, gap_s: int,
+                             key: str, key_type=None) -> pa.Table:
+    """Stitch per-batch edge-session fragments (sorted by key, start):
+    consecutive fragments of one key merge when the next fragment's first
+    event is within gap_s of the previous fragment's last event — exactly
+    the event-level break rule, since a fragment's start/end ARE its
+    first/last event times."""
+    if len(uid) == 0:
+        return _sessionize_wrapped(np.empty(0, np.int64),
+                                   np.empty(0, np.int64), gap_s, key,
+                                   key_type=key_type)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    ns = np.asarray(ns, dtype=np.int64)
+    brk = np.ones(len(uid), dtype=bool)
+    brk[1:] = (uid[1:] != uid[:-1]) | (starts[1:] - ends[:-1] > gap_s)
+    g0 = np.nonzero(brk)[0]
+    # max-end per merged group, not last-end: fragments with tied starts
+    # (same-ts events split across a batch boundary) may sort either way
+    return pa.table({
+        key: pa.array(uid[g0], key_type),
+        "session_start": pa.array(starts[g0], pa.int64()),
+        "session_end": pa.array(
+            np.maximum.reduceat(ends, g0).astype(np.int64), pa.int64()),
+        "n_events": pa.array(np.add.reduceat(ns, g0).astype(np.int64),
+                             pa.int64()),
+    })
 
 
 def _sessionize_wrapped(uid: np.ndarray, ts: np.ndarray, gap_s: int,

@@ -289,7 +289,7 @@ def test_partitioned_checkpoint_resume_skips_done_parts(tmp_path):
     ck = str(tmp_path / "ck")
     res1 = run_on_parquet(code_dir, ckpt_dir=ck)
     assert res1.signatures.count() == 150
-    sig_dir = os.path.join(ck, "signatures")
+    sig_dir = os.path.join(ck, "signatures-lean")
     markers = [f for f in os.listdir(sig_dir) if f.endswith(".done.json")]
     assert len(markers) == 16
     part_dirs = sorted(d for d in os.listdir(sig_dir)
@@ -315,7 +315,7 @@ def test_partitioned_checkpoint_resume_skips_done_parts(tmp_path):
             t = pq.read_table(p)
             b_rows += t.num_rows
             pq.write_table(t.slice(0, 0), p)
-    os.remove(os.path.join(ck, "signatures.manifest.json"))
+    os.remove(os.path.join(ck, "signatures-lean.manifest.json"))
 
     res2 = run_on_parquet(code_dir, ckpt_dir=ck)
     assert res2.signatures.count() == 150 - b_rows
@@ -362,29 +362,38 @@ def test_partitioned_stage_chunked_kill_resume(tmp_path):
 
 # ----------------------------------------------------- session windows
 
-def test_session_windows_forced_distributed_matches(monkeypatch):
-    """Sort+run-scan sessionizer: the forced distributed boundary path
-    (DRIVER_SMALL_LIMIT=0 -> per-key map_groups on boundary runs only)
-    yields the same sessions as the driver path."""
+def test_session_windows_forced_distributed_matches():
+    """Edge-summary sessionizer vs an exhaustive single-array oracle,
+    across block layouts: a HOT key (70 % of rows on one user) spanning
+    many small blocks exercises the cross-batch fragment merge — the path
+    that used to be the per-key map_groups fallback and is now the
+    driver-side merge scan over <=2 summaries per batch."""
     import pandas as pd
 
-    from raydedup.stages import candidates as C
-    from raydedup.stages.windows import session_windows
+    from raydedup.stages.windows import (_sessionize_wrapped,
+                                         session_windows)
 
     rng = np.random.default_rng(17)
     n = 5000
+    uid = rng.integers(0, 40, size=n)
+    uid[rng.random(n) < 0.7] = 7           # hot key spanning every block
+    ts_s = rng.integers(0, 1_000_000, size=n).astype("int64")
     ev = pa.table({
-        "user_id": pa.array(rng.integers(0, 40, size=n), pa.int64()),
-        "ts": pa.array((rng.integers(0, 1_000_000, size=n) * 1_000_000)
-                       .astype("int64"), pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(ts_s * 1_000_000, pa.timestamp("us")),
     })
-    base = session_windows(rd.from_arrow(ev), gap_s=1800).to_pandas() \
+    order = np.lexsort((ts_s, uid))
+    oracle = _sessionize_wrapped(uid[order], ts_s[order], 1800,
+                                 "user_id").to_pandas() \
         .sort_values(["user_id", "session_start"]).reset_index(drop=True)
-    monkeypatch.setattr(C, "DRIVER_SMALL_LIMIT", 0)
-    forced = session_windows(rd.from_arrow(ev), gap_s=1800).to_pandas() \
-        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
-    pd.testing.assert_frame_equal(base, forced)
-    assert base.n_events.sum() == n
+    for nblocks in (1, 4, 64):
+        got = session_windows(
+            rd.from_arrow(ev).repartition(nblocks), gap_s=1800
+        ).to_pandas() \
+            .sort_values(["user_id", "session_start"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, oracle)
+    assert oracle.n_events.sum() == n
 
 
 # ------------------------------------------------------------- textstats

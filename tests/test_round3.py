@@ -372,7 +372,7 @@ def test_ckpt_fingerprint_detects_same_count_edit(tmp_path):
     res1 = run_on_parquet(code_dir, ckpt_dir=ck)
     assert res1.signatures.count() == 120
 
-    sig_dir = os.path.join(ck, "signatures")
+    sig_dir = os.path.join(ck, "signatures-lean")
     poisoned = 0
     for d in sorted(os.listdir(sig_dir)):
         if not d.startswith("ckpt_part="):
@@ -386,7 +386,7 @@ def test_ckpt_fingerprint_detects_same_count_edit(tmp_path):
         if poisoned:
             break
     assert poisoned > 0
-    os.remove(os.path.join(ck, "signatures.manifest.json"))
+    os.remove(os.path.join(ck, "signatures-lean.manifest.json"))
 
     # edit one input file: same row count, different content bytes
     src = next(f for f in sorted(os.listdir(code_dir))

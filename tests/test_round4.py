@@ -1,0 +1,152 @@
+"""Round-4 additions: lean signature tables (verify-time shingle recompute),
+the edge-summary session-window merge, and the oracle type-pinning fixes.
+
+The lean plane's contract: a flagship run with store_shingles=False must be
+BIT-IDENTICAL to a stored-shingles run on every output surface — the
+recomputed shingle sets go through the same kernels
+(tokenize -> k-shingle -> segmented sorted-unique) as the stored column.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _mk_code_table(rows):
+    return pa.table({
+        "id": pa.array([r[0] for r in rows], pa.int64()),
+        "repo": pa.array([f"r{r[0]}" for r in rows], pa.string()),
+        "path": pa.array([f"p{r[0]}" for r in rows], pa.string()),
+        "commit": pa.array(["c"] * len(rows), pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "content": pa.array([r[1] for r in rows], pa.large_string()),
+    })
+
+
+def _near_dup_corpus(n=60, seed=13):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        base = " ".join(f"w{rng.integers(0, 200)}" for _ in range(60))
+        rows.append((i + 1, base, "en"))
+        if i % 5 == 0:   # plant a near dup of every 5th doc
+            toks = base.split()
+            toks[rng.integers(0, len(toks))] = "mutated"
+            rows.append((1000 + i, " ".join(toks), "en"))
+    return _mk_code_table(rows)
+
+
+def _snap(res):
+    vp = res.verified_pairs.to_pandas().sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    cl = res.clusters.to_pandas().sort_values("id").reset_index(drop=True)
+    return vp, cl
+
+
+def test_lean_run_bit_identical_to_stored():
+    from raydedup.issues import IssueType
+    from raydedup.pipeline import run_pipeline
+
+    tbl = _near_dup_corpus()
+    issues = [IssueType.NEAR_DUPLICATES, IssueType.OFF_TOPIC]
+    lean = run_pipeline(rd.from_arrow(tbl), issues_to_detect=issues,
+                        store_shingles=False)
+    stored = run_pipeline(rd.from_arrow(tbl), issues_to_detect=issues,
+                          store_shingles=True)
+    assert "shingles" not in lean.signatures.schema().names
+    assert "shingles" in stored.signatures.schema().names
+    vp_l, cl_l = _snap(lean)
+    vp_s, cl_s = _snap(stored)
+    assert len(vp_l) > 0
+    pd.testing.assert_frame_equal(vp_l, vp_s)
+    pd.testing.assert_frame_equal(cl_l, cl_s)
+
+
+def test_lean_join_fallback_bit_identical(monkeypatch):
+    """broadcast_id_limit=0 forces the lean plane's hash-join path
+    (minhash proj x recomputed shingle sets x pair joins); results must
+    match the broadcast path bit-for-bit."""
+    from raydedup.config import EngineConfig
+    from raydedup.issues import IssueType
+    from raydedup.pipeline import run_pipeline
+
+    tbl = _near_dup_corpus(n=40, seed=5)
+    issues = [IssueType.NEAR_DUPLICATES]
+    base = run_pipeline(rd.from_arrow(tbl), issues_to_detect=issues)
+    import dataclasses
+    cfg = EngineConfig()
+    cfg_forced = dataclasses.replace(cfg, broadcast_id_limit=0)
+    forced = run_pipeline(rd.from_arrow(tbl), cfg_forced,
+                          issues_to_detect=issues)
+    vp_b, _ = _snap(base)
+    vp_f, _ = _snap(forced)
+    assert len(vp_b) > 0
+    pd.testing.assert_frame_equal(vp_b, vp_f)
+
+
+def test_compute_shingle_sets_matches_stored_column():
+    from raydedup.config import EngineConfig
+    from raydedup.stages.ingest import ids_and_content, ingest
+    from raydedup.stages.signatures import (compute_shingle_sets,
+                                            compute_signatures)
+
+    tbl = _near_dup_corpus(n=25, seed=3)
+    cfg = EngineConfig()
+    stored = compute_signatures(ingest(rd.from_arrow(tbl)), cfg) \
+        .select_columns(["id", "shingles"]).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    recomputed = compute_shingle_sets(
+        ids_and_content(rd.from_arrow(tbl)), cfg).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(stored, recomputed)
+
+
+def test_ids_and_content_matches_ingest_ids():
+    """The lean shingle source must derive the SAME row ids as ingest for
+    inputs without an id column (blake2b of repo\\x00path\\x00commit)."""
+    from raydedup.stages.ingest import ids_and_content, ingest
+
+    tbl = _mk_code_table([(1, "a b c", "en"), (2, "d e f", "en")]) \
+        .drop_columns(["id"])
+    got = ids_and_content(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    want = ingest(rd.from_arrow(tbl)).to_pandas()[["id", "content"]] \
+        .sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_verify_lean_without_source_raises():
+    from raydedup.config import EngineConfig
+    from raydedup.stages.ingest import ingest
+    from raydedup.stages.signatures import compute_signatures
+    from raydedup.stages.verify import verify_pairs
+
+    tbl = _mk_code_table([(1, "a b c d e f g", "en"),
+                          (2, "a b c d e f h", "en")])
+    cfg = EngineConfig()
+    sigs = compute_signatures(ingest(rd.from_arrow(tbl)), cfg,
+                              with_shingles=False).materialize()
+    pairs = rd.from_arrow(pa.table({"id_a": pa.array([1], pa.int64()),
+                                    "id_b": pa.array([2], pa.int64())}))
+    with pytest.raises(ValueError, match="shingle_source"):
+        verify_pairs(pairs, sigs, cfg)
+
+
+# --------------------------------------------- session-window edge merge
+
+def test_session_fragment_merge_max_end_on_tied_starts():
+    """Fragments with tied starts can sort either way; the merged session
+    end must be the MAX end of the group, not the last fragment's."""
+    from raydedup.stages.windows import _merge_session_fragments
+
+    uid = np.array([7, 7], dtype=np.int64)
+    starts = np.array([100, 100], dtype=np.int64)
+    ends = np.array([100, 500], dtype=np.int64)    # longer fragment FIRST
+    ns = np.array([3, 2], dtype=np.int64)
+    out = _merge_session_fragments(uid, starts, ends[::-1].copy(), ns, 10,
+                                   "user_id", key_type=pa.int64())
+    assert out.num_rows == 1
+    assert out.column("session_end")[0].as_py() == 500
+    assert out.column("n_events")[0].as_py() == 5
