@@ -53,6 +53,31 @@ def _num_parts(n_rows: int, rows_per_part: int = 200_000) -> int:
     return max(1, n_rows // max(1, rows_per_part))
 
 
+def _default_parts(left, right) -> int:
+    """Default partition count WITHOUT executing the inputs: lazy pipelines
+    would run once per .count() and once more for the union (a ~3x input
+    scan — round-3 ADVICE item). Parquet-backed datasets answer count()
+    from metadata; anything else falls back to the cluster CPU count, which
+    is the right order for a hash exchange anyway."""
+    try:
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    total = 0
+    for ds in (left, right):
+        try:
+            if ds.input_files():          # metadata-backed source
+                total += ds.count()
+                continue
+        except Exception:
+            pass
+        return max(1, cpus)
+    # metadata counts available: at least one part per CPU, more when the
+    # row volume needs smaller per-partition working sets
+    return max(1, cpus, _num_parts(total))
+
+
 def _col_i64(t: pa.Table, name: str) -> np.ndarray:
     return t.column(name).cast(pa.int64()).to_numpy(zero_copy_only=False)
 
@@ -150,7 +175,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     Assumes non-null key/ts/value columns (the events contract); a null
     right value would surface as NaN where SQL reports NULL."""
     if num_parts is None:
-        num_parts = _num_parts(left.count() + right.count())
+        num_parts = _default_parts(left, right)
     both = _tag_side(right, 0, key, ts_col, id_col, value_col, num_parts) \
         .union(_tag_side(left, 1, key, ts_col, id_col, value_col, num_parts))
     out = both.groupby("_part").map_groups(
@@ -237,7 +262,7 @@ def range_join_agg(left: ray.data.Dataset, right: ray.data.Dataset,
     count and floor(value*scale) int64 sum of right rows with the same key
     in the window (left_ts - width_us, left_ts]."""
     if num_parts is None:
-        num_parts = _num_parts(left.count() + right.count())
+        num_parts = _default_parts(left, right)
     both = _tag_side(right, 0, key, ts_col, id_col, value_col, num_parts) \
         .union(_tag_side(left, 1, key, ts_col, id_col, value_col, num_parts))
     return both.groupby("_part").map_groups(

@@ -30,7 +30,12 @@ def hash_sample(ds: ray.data.Dataset, id_col: str = "doc_id",
                 keep_lt: int = 100, mod: int = 1000,
                 salt: int = 0) -> ray.data.Dataset:
     """Keep rows where splitmix64(id ^ salt) % mod < keep_lt
-    (keep_lt/mod of the corpus in expectation, exactly reproducible)."""
+    (keep_lt/mod of the corpus in expectation, exactly reproducible).
+
+    Non-null id contract: a null id has no stable hash — rather than
+    keep/drop such rows on the garbage bit pattern a null-masked to_numpy
+    would produce (float64 NaN reinterpreted as uint64), the stage fails
+    loudly."""
     if not (0 <= keep_lt <= mod):
         raise ValueError("keep_lt must be within [0, mod]")
     s = np.uint64(salt)
@@ -38,7 +43,12 @@ def hash_sample(ds: ray.data.Dataset, id_col: str = "doc_id",
     k = np.uint64(keep_lt)
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).cast(pa.int64()).to_numpy(
+        col = t.column(id_col)
+        if col.null_count:
+            raise ValueError(
+                f"hash_sample: {col.null_count} null value(s) in id column "
+                f"{id_col!r} — sampling requires non-null ids")
+        ids = col.cast(pa.int64()).to_numpy(
             zero_copy_only=False).view(np.uint64)
         keep = (splitmix64(ids ^ s) % m) < k
         return t.filter(pa.array(keep))

@@ -28,10 +28,23 @@ def _topk_table(t: pa.Table, group_col: str, value_col: str, id_col: str,
     g = t.column(group_col).to_numpy(zero_copy_only=False)
     v = t.column(value_col).to_numpy(zero_copy_only=False)
     i = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if v.dtype.kind == "f" and np.isnan(v).any():
+        # NaN has no defined rank vs the SQL oracle's ORDER BY — fail loudly
+        raise ValueError("top_k_per_group: NaN in value column "
+                         f"{value_col!r} is not orderable")
     # sort by (group, value, id); group key may be strings — factorize to
     # codes so one numeric lexsort serves any key type
     codes, _ = pd.factorize(g, sort=True)
-    order = np.lexsort((i, -v if descending else v, codes))
+    if descending:
+        # rank-space inversion instead of -v: negating values silently
+        # wraps at INT64_MIN and misorders unsigned columns (round-3
+        # ADVICE item); value ranks are batch-local small ints, equal
+        # values share a rank so the id tie-break still applies
+        _, vinv = np.unique(v, return_inverse=True)
+        vkey = -vinv.astype(np.int64)
+    else:
+        vkey = v
+    order = np.lexsort((i, vkey, codes))
     gs = codes[order]
     starts = np.nonzero(np.r_[True, gs[1:] != gs[:-1]])[0]
     rank = np.arange(len(gs)) - np.repeat(starts, np.r_[starts[1:],

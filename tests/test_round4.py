@@ -150,3 +150,77 @@ def test_session_fragment_merge_max_end_on_tied_starts():
     assert out.num_rows == 1
     assert out.column("session_end")[0].as_py() == 500
     assert out.column("n_events")[0].as_py() == 5
+
+
+# ------------------------------------------------- ADVICE-item regressions
+
+def test_topk_descending_int64_min_and_uint64():
+    """Descending order must not negate values: INT64_MIN negation wraps
+    and unsigned columns misorder (round-3 ADVICE)."""
+    from raydedup.stages.topk import top_k_per_group
+
+    imin = np.iinfo(np.int64).min
+    t = pa.table({
+        "g": pa.array(["a"] * 3, pa.string()),
+        "v": pa.array([imin, 5, -7], pa.int64()),
+        "id": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = top_k_per_group(rd.from_arrow(t), "g", "v", "id", k=2) \
+        .to_pandas().sort_values("v", ascending=False)
+    assert list(out.v) == [5, -7]          # imin must rank LAST, not first
+
+    tu = pa.table({
+        "g": pa.array(["a"] * 3, pa.string()),
+        "v": pa.array([2**63 + 5, 1, 2**64 - 1], pa.uint64()),
+        "id": pa.array([1, 2, 3], pa.int64()),
+    })
+    outu = top_k_per_group(rd.from_arrow(tu), "g", "v", "id", k=1) \
+        .to_pandas()
+    assert list(outu.v) == [2**64 - 1]
+
+
+def test_topk_nan_value_raises():
+    from raydedup.stages.topk import top_k_per_group
+
+    t = pa.table({
+        "g": pa.array(["a", "a"], pa.string()),
+        "v": pa.array([1.0, float("nan")], pa.float64()),
+        "id": pa.array([1, 2], pa.int64()),
+    })
+    with pytest.raises(Exception, match="NaN"):
+        top_k_per_group(rd.from_arrow(t), "g", "v", "id", k=1).to_pandas()
+
+
+def test_hash_sample_null_id_raises():
+    from raydedup.stages.sample import hash_sample
+
+    t = pa.table({"doc_id": pa.array([1, None, 3], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        hash_sample(rd.from_arrow(t), keep_lt=1000, mod=1000).to_pandas()
+
+
+def test_joins_default_parts_without_counting_lazy_inputs():
+    """asof_join with num_parts unset on lazy (map_batches) inputs must
+    still be correct; the default now derives from cluster CPUs instead of
+    count()-executing the pipelines (round-3 ADVICE)."""
+    from raydedup.stages.joins import asof_join
+
+    left = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 7], pa.int64()),
+        "ts": pa.array([2_000_000, 5_000_000], pa.timestamp("us")),
+        "value": pa.array([0.0, 0.0], pa.float64()),
+    })
+    right = pa.table({
+        "event_id": pa.array([10, 11], pa.int64()),
+        "user_id": pa.array([7, 7], pa.int64()),
+        "ts": pa.array([1_000_000, 4_000_000], pa.timestamp("us")),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+    })
+    lds = rd.from_arrow(left).map_batches(lambda t: t,
+                                          batch_format="pyarrow")
+    rds = rd.from_arrow(right).map_batches(lambda t: t,
+                                           batch_format="pyarrow")
+    out = asof_join(lds, rds).to_pandas().sort_values("event_id")
+    assert list(out.matched_event_id) == [10, 11]
+    assert list(out.matched_value) == [1.5, 2.5]
