@@ -187,6 +187,29 @@ def _q_media_video_roundtrip(sf_dir: str):
     ])).sort_by("doc_id")
 
 
+def _q_media_progressive_roundtrip(sf_dir: str):
+    """Progressive-JPEG decode plane, oracle-gated (the SOF2 analog of
+    media_image_roundtrip): text codepoints -> REAL progressive JPEGs
+    (DC first/refine + AC first/refine scans, 8x8 constant blocks at
+    quality 100 so the lossy path is bit-exact) -> the real progressive
+    decoder -> integer per-pixel stats. The SQL oracle recomputes the
+    stats from the text alone (64 pixels per codepoint, unicode(c) mod
+    256)."""
+    from raydedup.stages.multimodal import (docs_to_progressive_jpeg,
+                                            image_stats)
+    media = docs_to_progressive_jpeg(
+        _documents(sf_dir).select_columns(["doc_id", "text"]))
+    out = image_stats(media).map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id" if c == "media_id" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    return _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("n_pixels", pa.int64()),
+        ("pixel_sum", pa.int64()), ("pixel_min", pa.int64()),
+        ("pixel_max", pa.int64()),
+    ])).sort_by("doc_id")
+
+
 def _q_quality_filter(sf_dir: str):
     from raydedup.stages.textstats import quality_filter
     return _collect(quality_filter(_documents(sf_dir)),
@@ -965,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_roundtrip": _q_media_wav_roundtrip,
         "media_image_roundtrip": _q_media_image_roundtrip,
         "media_video_roundtrip": _q_media_video_roundtrip,
+        "media_progressive_roundtrip": _q_media_progressive_roundtrip,
         "corpus_stats_by_lang": _q_corpus_stats_by_lang,
         "minhash_dup_pairs": _q_minhash_dup_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -1468,6 +1492,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(len(cps) AS BIGINT) AS n_pixels,
                    CAST(coalesce(list_aggregate(cps, 'sum'), 0) AS BIGINT)
                        AS pixel_sum,
+                   CAST(coalesce(list_aggregate(cps, 'min'), 0) AS BIGINT)
+                       AS pixel_min,
+                   CAST(coalesce(list_aggregate(cps, 'max'), 0) AS BIGINT)
+                       AS pixel_max
+            FROM (SELECT doc_id,
+                         list_transform(
+                             list_filter(
+                                 regexp_split_to_array(coalesce(text, ''),
+                                                       ''),
+                                 c -> c <> ''),
+                             c -> unicode(c) % 256) AS cps
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "media_progressive_roundtrip": r"""
+            SELECT doc_id, CAST(64 * len(cps) AS BIGINT) AS n_pixels,
+                   CAST(64 * coalesce(list_aggregate(cps, 'sum'), 0)
+                        AS BIGINT) AS pixel_sum,
                    CAST(coalesce(list_aggregate(cps, 'min'), 0) AS BIGINT)
                        AS pixel_min,
                    CAST(coalesce(list_aggregate(cps, 'max'), 0) AS BIGINT)

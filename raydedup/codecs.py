@@ -18,9 +18,10 @@ beyond numpy + the stdlib:
   fixed-length Huffman tables
 
 so the decode path is REAL for all of those (decode -> bilinear resize ->
-64-dim feature); only codecs that genuinely need external native libs
-(progressive/arithmetic JPEG, H.26x, vorbis/mp3) remain gated behind
-NotImplementedError.
+64-dim feature), including PROGRESSIVE JPEG (SOF2: DC/AC first +
+successive-approximation refinement scans, EOB runs, T.81 G.2); only
+codecs that genuinely need external native libs (arithmetic-coded JPEG,
+H.26x, vorbis/mp3) remain gated behind NotImplementedError.
 
 Reference analog: the SelfClean embedding stage consumes decoded image
 tensors from torchvision loaders (selfclean/cleaner/selfclean.py:268-283);
@@ -362,8 +363,9 @@ def image_features(img: np.ndarray) -> np.ndarray:
 # upsample, BT.601 to RGB). Encoder emits valid baseline JPEG with
 # per-image fixed-length Huffman tables (all symbols at one code length
 # -> trivially canonical, always decodable by any conformant reader) so
-# no spec Annex K table transcription is needed. Progressive (SOF2),
-# arithmetic coding, and 12-bit precision raise NotImplementedError.
+# no spec Annex K table transcription is needed. Progressive (SOF2) is
+# fully decoded (and encodable via encode_jpeg(progressive=True));
+# arithmetic coding and 12-bit precision raise NotImplementedError.
 
 _ZIGZAG = np.array([
     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
@@ -438,6 +440,8 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     sof = None
     geom = None              # {cid: per-component geometry}, set on first SOS
     grids: dict[int, tuple[list, list]] = {}  # cid -> (vals, positions)
+    coef: dict[int, np.ndarray] = {}  # progressive: cid -> dense zigzag i32
+    progressive = False
     seen_scan: set[int] = set()
     restart_interval = 0
     i = 2
@@ -456,8 +460,9 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2                              # TEM / stray RST
             continue
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("progressive JPEG unsupported")
+        if marker in (0xC6, 0xCA, 0xCE):
+            raise NotImplementedError(
+                "differential/arithmetic progressive JPEG unsupported")
         if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError("non-baseline JPEG process")
         if i + 4 > len(buf):
@@ -475,7 +480,8 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                 dq[_ZIGZAG] = tbl
                 qt[tid] = dq.reshape(8, 8)
                 j += 65
-        elif marker in (0xC0, 0xC1):            # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -505,15 +511,30 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             if geom is None:
                 geom = _jpeg_geometry(sof)
                 grids = {c["id"]: ([], []) for c in sof[2]}
+                if progressive:
+                    coef = {c["id"]: np.zeros(
+                        geom[c["id"]]["nby_pad"]
+                        * geom[c["id"]]["nbx_pad"] * 64, np.int32)
+                        for c in sof[2]}
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
                 if cs not in geom:
                     raise ValueError("JPEG scan references unknown component")
-                if (0, tds >> 4) not in huff or (1, tds & 15) not in huff:
+                if not progressive and ((0, tds >> 4) not in huff
+                                        or (1, tds & 15) not in huff):
                     raise ValueError("JPEG scan references missing DHT table")
                 scan.append({"id": cs, "td": tds >> 4, "ta": tds & 15})
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if ss == 0:                     # DC coverage tracking
+                    seen_scan.update(s["id"] for s in scan)
+                i = _jpeg_progressive_scan(buf, i + 2 + seglen, geom, huff,
+                                           scan, restart_interval, coef,
+                                           ss, se, ahal >> 4, ahal & 15)
+                continue
             seen_scan.update(s["id"] for s in scan)
             i = _jpeg_entropy_scan(buf, i + 2 + seglen, geom, huff, scan,
                                    restart_interval, grids)
@@ -522,7 +543,13 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     if geom is None or not seen_scan:
         raise ValueError("JPEG missing SOS")
     if seen_scan != set(geom):
-        raise ValueError("JPEG missing component scan")
+        raise ValueError("JPEG missing component scan"
+                         if not progressive
+                         else "progressive JPEG missing DC scan")
+    if progressive:
+        for cid, dense in coef.items():
+            nz = np.nonzero(dense)[0]
+            grids[cid] = (dense[nz], nz)
     return _jpeg_assemble(sof, geom, grids, qt)
 
 
@@ -550,18 +577,10 @@ def _jpeg_geometry(sof):
     return geom
 
 
-def _jpeg_entropy_scan(buf, pos, geom, huff, scan, restart_interval,
-                       grids) -> int:
-    """Decode one scan's entropy data into the per-component raster-order
-    coefficient accumulators; return the index of the next marker.
-
-    Interleaved scans (ns > 1) traverse MCUs over the padded grid;
-    non-interleaved scans (ns == 1) traverse the component's own block
-    grid in raster order (T.81 A.2.2). This is the ONLY per-symbol Python
-    loop in the codec: bit reads are inlined 16-bit peeks + LUT hits and
-    coefficients accumulate into flat lists, scattered into the numpy
-    coefficient plane in one vectorized assignment at assembly."""
-    # destuff entropy bytes; segment at RST markers (DC predictors reset)
+def _jpeg_destuff(buf, pos) -> tuple[list, int]:
+    """Destuff entropy bytes starting at pos; split into segments at RST
+    markers (DC predictors and EOB runs reset per segment). Returns
+    (segments, index_of_next_marker)."""
     segments, cur = [], bytearray()
     i = pos
     while i < len(buf):
@@ -581,6 +600,21 @@ def _jpeg_entropy_scan(buf, pos, geom, huff, scan, restart_interval,
         cur.append(b)
         i += 1
     segments.append(bytes(cur))
+    return segments, i
+
+
+def _jpeg_entropy_scan(buf, pos, geom, huff, scan, restart_interval,
+                       grids) -> int:
+    """Decode one scan's entropy data into the per-component raster-order
+    coefficient accumulators; return the index of the next marker.
+
+    Interleaved scans (ns > 1) traverse MCUs over the padded grid;
+    non-interleaved scans (ns == 1) traverse the component's own block
+    grid in raster order (T.81 A.2.2). This is the ONLY per-symbol Python
+    loop in the codec: bit reads are inlined 16-bit peeks + LUT hits and
+    coefficients accumulate into flat lists, scattered into the numpy
+    coefficient plane in one vectorized assignment at assembly."""
+    segments, i = _jpeg_destuff(buf, pos)
 
     interleaved = len(scan) > 1
     g0 = geom[scan[0]["id"]]
@@ -679,6 +713,169 @@ def _jpeg_entropy_scan(buf, pos, geom, huff, scan, restart_interval,
     return i
 
 
+def _jpeg_progressive_scan(buf, pos, geom, huff, scan, restart_interval,
+                           coef, ss, se, ah, al) -> int:
+    """Decode one PROGRESSIVE scan (T.81 G.2) into the dense per-component
+    zigzag coefficient planes `coef` (cid -> int32[nblocks_padded * 64]).
+
+    Four scan kinds: DC first (Ss=Se=0, Ah=0; interleaved allowed), DC
+    refinement (Ah>0; one raw bit per block), AC first (Ss>0, Ah=0;
+    single-component, run-length with EOB runs), AC refinement (Ah>0;
+    correction-bit algorithm of G.1.2.3). EOB runs and DC predictors reset
+    at restart markers (per destuffed segment)."""
+    segments, nxt = _jpeg_destuff(buf, pos)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive DC scan with Se != 0")
+    interleaved = len(scan) > 1
+    if not is_dc and interleaved:
+        raise ValueError("JPEG progressive AC scan must be "
+                         "single-component")
+    g0 = geom[scan[0]["id"]]
+    if interleaved:
+        total_units = g0["mcus_x"] * g0["mcus_y"]
+    else:
+        total_units = g0["nbx"] * g0["nby"]
+    units_per_seg = restart_interval or total_units
+    dc_luts = [huff.get((0, s["td"])) for s in scan]
+    ac_lut = huff.get((1, scan[0]["ta"])) if not is_dc else None
+    if is_dc and ah == 0 and any(t is None for t in dc_luts):
+        raise ValueError("JPEG scan references missing DHT table")
+    if not is_dc and ac_lut is None:
+        raise ValueError("JPEG scan references missing DHT table")
+    mcus_x = g0["mcus_x"]
+    p1 = 1 << al
+    m1 = -p1
+    unit = 0
+    for seg_bytes in segments:
+        data = seg_bytes + b"\x00" * 264
+        nbits = len(seg_bytes) * 8
+        state = [0]
+
+        def getbits(n):
+            p = state[0]
+            b = p >> 3
+            v = (((data[b] << 24) | (data[b + 1] << 16)
+                  | (data[b + 2] << 8) | data[b + 3])
+                 >> (32 - n - (p & 7))) & ((1 << n) - 1)
+            state[0] = p + n
+            return v
+
+        def huffdec(lut):
+            sym, ln = lut
+            p = state[0]
+            b = p >> 3
+            pv = (((data[b] << 16) | (data[b + 1] << 8) | data[b + 2])
+                  >> (8 - (p & 7))) & 0xFFFF
+            l_ = ln[pv]
+            if l_ == 0:
+                raise ValueError("invalid JPEG Huffman code")
+            state[0] = p + l_
+            return sym[pv]
+
+        preds = [0] * len(scan)
+        eobrun = 0
+        for _ in range(min(units_per_seg, total_units - unit)):
+            if is_dc:
+                for si, s in enumerate(scan):
+                    g = geom[s["id"]]
+                    c = coef[s["id"]]
+                    if interleaved:
+                        my, mx = divmod(unit, mcus_x)
+                        blocks = [((my * g["v"] + by) * g["nbx_pad"]
+                                   + mx * g["h"] + bx)
+                                  for by in range(g["v"])
+                                  for bx in range(g["h"])]
+                    else:
+                        by, bx = divmod(unit, g["nbx"])
+                        blocks = [by * g["nbx_pad"] + bx]
+                    for raster in blocks:
+                        base = raster << 6
+                        if ah == 0:
+                            t = huffdec(dc_luts[si])
+                            if t:
+                                mv = getbits(t)
+                                preds[si] += mv if mv >= (1 << (t - 1)) \
+                                    else mv - (1 << t) + 1
+                            c[base] = preds[si] << al
+                        elif getbits(1):
+                            c[base] |= p1
+            else:
+                g = g0
+                c = coef[scan[0]["id"]]
+                by, bx = divmod(unit, g["nbx"])
+                base = (by * g["nbx_pad"] + bx) << 6
+                if ah == 0:                         # AC first (G.1.2.2)
+                    if eobrun:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = huffdec(ac_lut)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r < 15:          # EOBn
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += getbits(r)
+                                    break
+                                k += 16             # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG AC run overflow")
+                            mv = getbits(sz)
+                            v = mv if mv >= (1 << (sz - 1)) \
+                                else mv - (1 << sz) + 1
+                            c[base + k] = v << al
+                            k += 1
+                else:                               # AC refine (G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = huffdec(ac_lut)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r < 15:          # EOBn: covers THIS block
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += getbits(r)
+                                    break
+                                val = 0             # ZRL: 16 zero-history
+                            else:
+                                if sz != 1:
+                                    raise ValueError(
+                                        "JPEG AC refinement size != 1")
+                                val = p1 if getbits(1) else m1
+                            while k <= se:
+                                cv = c[base + k]
+                                if cv != 0:
+                                    if getbits(1) and (cv & p1) == 0:
+                                        c[base + k] = cv + (p1 if cv >= 0
+                                                            else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val != 0 and k <= se:
+                                c[base + k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            cv = c[base + k]
+                            if cv != 0 and getbits(1) and (cv & p1) == 0:
+                                c[base + k] = cv + (p1 if cv >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+            if state[0] > nbits:
+                raise ValueError("JPEG entropy data exhausted")
+            unit += 1
+    if unit != total_units:
+        raise ValueError("JPEG entropy data truncated")
+    return nxt
+
+
 def _jpeg_assemble(sof, geom, grids, qt) -> np.ndarray:
     """All scans decoded -> dequantize, inverse zigzag, one einsum IDCT
     over every block, vectorized raster assembly, chroma upsample, crop,
@@ -693,8 +890,8 @@ def _jpeg_assemble(sof, geom, grids, qt) -> np.ndarray:
         nbx_pad, nby_pad = g["nbx_pad"], g["nby_pad"]
         flat = np.zeros(nby_pad * nbx_pad * 64, np.int32)
         vals, vpos = grids[cid]
-        if vals:
-            flat[np.array(vpos, np.int64)] = np.array(vals, np.int32)
+        if len(vals):       # list (baseline) or ndarray (progressive)
+            flat[np.asarray(vpos, np.int64)] = np.asarray(vals, np.int32)
         z = np.zeros((nby_pad * nbx_pad, 64), np.int32)
         z[:, _ZIGZAG] = flat.reshape(-1, 64)        # de-zigzag
         f = z.astype(np.float64).reshape(-1, 8, 8) * \
@@ -760,17 +957,30 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsample: bool = False, restart_interval: int = 0,
-                interleaved: bool = True) -> bytes:
-    """uint8 image -> baseline JPEG. (H, W) gray or (H, W, 3) RGB;
-    subsample=True writes 4:2:0 chroma, else 4:4:4. Huffman tables are
-    per-image fixed-length (valid canonical tables emitted in DHT).
-    interleaved=False writes one scan per component (legal baseline,
-    T.81 A.2.2); supported for 4:4:4 without restart markers."""
+                interleaved: bool = True,
+                progressive: bool = False) -> bytes:
+    """uint8 image -> baseline JPEG (or progressive with progressive=True).
+    (H, W) gray or (H, W, 3) RGB; subsample=True writes 4:2:0 chroma, else
+    4:4:4. Huffman tables are per-image fixed-length (valid canonical
+    tables emitted in DHT). interleaved=False writes one scan per component
+    (legal baseline, T.81 A.2.2); supported for 4:4:4 without restart
+    markers.
+
+    progressive=True writes SOF2 with a successive-approximation +
+    spectral-selection scan script (T.81 G.1.2): interleaved DC first scan
+    at Al=1, DC refinement, then per component an AC first scan
+    Ss=1..63/Al=1 and an AC refinement to Al=0 — all four progressive scan
+    kinds, full-precision-exact (the scan script partitions the quantized
+    coefficients bit-exactly, so decode equals the baseline decode of the
+    same image). 4:4:4/gray only, no restart intervals."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     assert img.dtype == np.uint8
     if not interleaved and (subsample or restart_interval):
         raise ValueError("non-interleaved encode supports 4:4:4 without "
+                         "restart intervals only")
+    if progressive and (subsample or restart_interval):
+        raise ValueError("progressive encode supports 4:4:4 without "
                          "restart intervals only")
 
     qluma = _quality_scale(_Q_LUMA, quality)
@@ -812,6 +1022,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             .transpose(0, 2, 1, 3, 4, 5).reshape(-1, 64)[:, _ZIGZAG]
         assert nby * nbx == q.shape[0]
         comp_blocks.append(q)
+
+    if progressive:
+        # 4:4:4/gray: MCU order == component raster order, so comp_blocks
+        # serve the per-component AC scans directly
+        return _encode_jpeg_progressive(h, w, gray, planes, comp_blocks,
+                                        qluma, qchroma)
 
     # entropy symbol streams (collect symbols first to build tables)
     def _cat(v: int) -> int:
@@ -952,6 +1168,209 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                 cursors[ci] += 1
     wtr.flush()
     out.extend(wtr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _prog_dc_first_ops(comp_blocks, tclasses, al):
+    """Interleaved DC first scan (Ah=0): per block, the category symbol and
+    extension bits of the delta of the point-transformed DC (arithmetic
+    right shift by al, T.81 G.1.2.1)."""
+    ops = []
+    preds = [0] * len(comp_blocks)
+    nb = comp_blocks[0].shape[0]
+    for bi in range(nb):
+        for ci, blocks in enumerate(comp_blocks):
+            v = int(blocks[bi][0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = abs(diff).bit_length()
+            ops.append(("sym", 0, tclasses[ci], s))
+            if s:
+                ops.append(("bits",
+                            diff if diff >= 0 else diff + (1 << s) - 1, s))
+    return ops
+
+
+def _prog_dc_refine_ops(comp_blocks, al):
+    """Interleaved DC refinement (Ah=al+1): one raw bit per block — the
+    al-th bit of the two's-complement DC (decoder ORs it in)."""
+    ops = []
+    nb = comp_blocks[0].shape[0]
+    for bi in range(nb):
+        for blocks in comp_blocks:
+            ops.append(("bits", (int(blocks[bi][0]) >> al) & 1, 1))
+    return ops
+
+
+def _prog_ac_first_ops(blocks, tclass, al):
+    """Single-component AC first scan (Ss=1..63, Ah=0): baseline-style RLE
+    of the point-transformed magnitudes with EOB-run folding (G.1.2.2)."""
+    ops = []
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun > 0:
+            nb_ = eobrun.bit_length() - 1
+            ops.append(("sym", 1, tclass, nb_ << 4))
+            if nb_:
+                ops.append(("bits", eobrun & ((1 << nb_) - 1), nb_))
+            eobrun = 0
+
+    for blk in blocks:
+        r = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            emit_eobrun()
+            while r > 15:
+                ops.append(("sym", 1, tclass, 0xF0))
+                r -= 16
+            s = t.bit_length()
+            ops.append(("sym", 1, tclass, (r << 4) | s))
+            tv = t if v > 0 else -t
+            ops.append(("bits", tv if tv >= 0 else tv + (1 << s) - 1, s))
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFE:
+                emit_eobrun()
+    emit_eobrun()
+    return ops
+
+
+def _prog_ac_refine_ops(blocks, tclass, al):
+    """Single-component AC refinement scan (Ah=al+1 -> Al=al): the
+    correction-bit algorithm of T.81 G.1.2.3 — new coefficients (point-
+    transformed magnitude exactly 1) are coded with run/sign, previously-
+    nonzero coefficients contribute one buffered correction bit each, and
+    all-zero tails fold into EOB runs whose buffered bits flush with the
+    EOBn symbol."""
+    ops = []
+    eobrun = 0
+    be_bits: list[int] = []
+
+    def emit_eobrun():
+        nonlocal eobrun, be_bits
+        if eobrun > 0:
+            nb_ = eobrun.bit_length() - 1
+            ops.append(("sym", 1, tclass, nb_ << 4))
+            if nb_:
+                ops.append(("bits", eobrun & ((1 << nb_) - 1), nb_))
+            for b in be_bits:
+                ops.append(("bits", b, 1))
+            be_bits = []
+            eobrun = 0
+
+    for blk in blocks:
+        temp = [abs(int(blk[k])) >> al for k in range(64)]
+        eob = 0
+        for k in range(1, 64):
+            if temp[k] == 1:
+                eob = k
+        r = 0
+        br: list[int] = []
+        for k in range(1, 64):
+            t = temp[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                emit_eobrun()
+                ops.append(("sym", 1, tclass, 0xF0))
+                r -= 16
+                for b in br:
+                    ops.append(("bits", b, 1))
+                br = []
+            if t > 1:               # history coefficient: correction bit
+                br.append(t & 1)
+                continue
+            emit_eobrun()           # newly appearing coefficient
+            ops.append(("sym", 1, tclass, (r << 4) | 1))
+            ops.append(("bits", 1 if int(blk[k]) > 0 else 0, 1))
+            for b in br:
+                ops.append(("bits", b, 1))
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFE:
+                emit_eobrun()
+    emit_eobrun()
+    return ops
+
+
+def _encode_jpeg_progressive(h, w, gray, planes, comp_blocks,
+                             qluma, qchroma) -> bytes:
+    """Emit the SOF2 container + four-kind scan script over the already-
+    quantized zigzag blocks (see encode_jpeg(progressive=True))."""
+    tclasses = [p[2] for p in planes]
+    ncomp = len(planes)
+    scans = []   # (sos_header_bytes, ops)
+    al = 1
+
+    def sos_hdr(comp_ids, tds, tas, ss, se, ah, al_):
+        b = bytes([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            b += struct.pack(">BB", cid, (td << 4) | ta)
+        return b + bytes([ss, se, (ah << 4) | al_])
+
+    all_ids = list(range(1, ncomp + 1))
+    scans.append((sos_hdr(all_ids, tclasses, [0] * ncomp, 0, 0, 0, al),
+                  _prog_dc_first_ops(comp_blocks, tclasses, al)))
+    scans.append((sos_hdr(all_ids, [0] * ncomp, [0] * ncomp, 0, 0, al, 0),
+                  _prog_dc_refine_ops(comp_blocks, 0)))
+    for ci in range(ncomp):
+        tc = tclasses[ci]
+        scans.append((sos_hdr([ci + 1], [0], [tc], 1, 63, 0, al),
+                      _prog_ac_first_ops(comp_blocks[ci], tc, al)))
+        scans.append((sos_hdr([ci + 1], [0], [tc], 1, 63, al, 0),
+                      _prog_ac_refine_ops(comp_blocks[ci], tc, 0)))
+
+    # Huffman alphabets per (class, tclass) across all scans
+    sym_sets: dict[tuple[int, int], list] = {}
+    for _hdr, ops in scans:
+        for op in ops:
+            if op[0] == "sym":
+                sym_sets.setdefault((op[1], op[2]), []).append(op[3])
+    tables = {key: _fixed_huff_table(syms)
+              for key, syms in sym_sets.items()}
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes):
+        out.extend(b"\xff" + bytes([marker])
+                   + struct.pack(">H", len(payload) + 2) + payload)
+
+    dqt = bytes([0]) + bytes(qluma.reshape(64)[_ZIGZAG].astype(np.uint8))
+    if not gray:
+        dqt += bytes([1]) + bytes(qchroma.reshape(64)[_ZIGZAG]
+                                  .astype(np.uint8))
+    seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (_plane, _q, tq, ch_, cv_) in enumerate(planes):
+        sof += struct.pack(">BBB", ci + 1, (ch_ << 4) | cv_, tq)
+    seg(0xC2, sof)
+    dht = b""
+    for (tc, th), (counts, syms, _enc) in sorted(tables.items()):
+        dht += bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+    seg(0xC4, dht)
+    for hdr, ops in scans:
+        seg(0xDA, hdr)
+        wtr = _BitWriter()
+        for op in ops:
+            if op[0] == "sym":
+                code, ln = tables[(op[1], op[2])][2][op[3]]
+                wtr.write(code, ln)
+            else:
+                wtr.write(op[1], op[2])
+        wtr.flush()
+        out.extend(wtr.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
 

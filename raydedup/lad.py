@@ -11,10 +11,20 @@ tests/unittests/cleaner/off_topic_samples/test_lad_scoring.py:9-19).
 Both the ranking ORDER and the cumulative score VALUES follow the reference
 geometry, including the shrinking child x-intervals (w_right =
 start + (end-start)*p_right) and the white-space back-fill rectangles
-(lad_scoring.py:210-290); parity is gated by a hand-computed small-N fixture
-(tests/test_lad.py). Remaining caveat: child left/right order in TIES of
-subtree size follows this module's merge construction, which may differ from
-scipy's linkage child ordering on degenerate equal-distance inputs.
+(lad_scoring.py:210-290); parity is gated by hand-computed small-N fixtures
+(tests/test_lad.py), including degenerate equal-distance/equal-size merges.
+
+Tie-order parity with the reference's scipy path (derivation, no scipy in
+this environment): scipy.cluster.hierarchy.linkage(method='single') builds
+the MST with Prim from vertex 0 (ties broken by lowest index via strict-<
+scans), stable-sorts the MST edges by distance, and relabels rows with
+Z[i,0] < Z[i,1] ascending cluster ids (_hierarchy label()); the reference
+then swaps the smaller-COUNT child left, keeping Z's ascending-id order on
+count ties (lad_scoring.py:103-108). This module's Prim + stable edge sort
+reproduce the identical merge sequence (hence identical cluster ids), and
+its final swap rule — smaller size left, smaller cluster id left on size
+ties — is orientation-independent and equals scipy-then-reference order on
+every degenerate case (pinned by test_lad degenerate fixtures).
 
 scipy is unavailable; single linkage is computed with an O(N^2) Prim MST —
 fine for the intended N <= a few thousand.
@@ -166,10 +176,10 @@ def lad_ranking(dist: np.ndarray,
             continue
         lc, rc = left[node], right[node]
         # smaller subtree left (reference lad_scoring.py:103-108); on EQUAL
-        # sizes keep the earlier-formed (smaller-id) cluster left — a
-        # deterministic convention for degenerate equal-distance merges
-        # (documented deviation: scipy's to_tree child order on such ties
-        # is an internal artifact we do not replicate)
+        # sizes the earlier-formed (smaller-id) cluster goes left — exactly
+        # scipy's label() ascending-id row order, which the reference keeps
+        # on count ties (see module docstring for the derivation; pinned by
+        # the degenerate fixtures in tests/test_lad.py)
         if size[lc] > size[rc] or (size[lc] == size[rc] and lc > rc):
             lc, rc = rc, lc
         denom = n if global_leaves else size[node]

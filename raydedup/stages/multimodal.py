@@ -360,6 +360,46 @@ def docs_to_image(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def docs_to_progressive_jpeg(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents (doc_id, text) -> MEDIA_SCHEMA-shaped image rows whose
+    payload is a REAL PROGRESSIVE JPEG (SOF2, all four scan kinds: DC
+    first/refine + AC first/refine, codecs.encode_jpeg(progressive=True)):
+    codepoint i becomes an 8x8 CONSTANT gray block of value cp % 256 in an
+    8-pixel-tall strip. Constant blocks quantize to a lone DC coefficient,
+    and at quality=100 every quantizer step is 1, so the lossy pipeline is
+    bit-exact here and the SQL oracle can recompute the pixel stats from
+    the text alone (64 pixels per codepoint). Empty texts carry an empty
+    payload."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = t.column("text").to_pylist()
+        payloads, widths = [], np.empty(len(texts), np.int32)
+        for i, s in enumerate(texts):
+            cps = np.frombuffer((s or "").encode("utf-32-le"), dtype="<u4")
+            widths[i] = 8 * len(cps)
+            if len(cps) == 0:
+                payloads.append(b"")
+                continue
+            gray = (cps % np.uint32(256)).astype(np.uint8)
+            img = np.repeat(np.repeat(gray[None, :], 8, axis=0), 8, axis=1)
+            payloads.append(codecs.encode_jpeg(img, quality=100,
+                                               progressive=True))
+        n = t.num_rows
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["image/jpeg"] * n, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(np.where(widths > 0, 8, 0), pa.int32()),
+            "duration_ms": pa.array(np.full(n, -1, np.int32), pa.int32()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def image_stats(media: ray.data.Dataset) -> ray.data.Dataset:
     """(media_id, payload, mime) -> integer per-image pixel stats through
     the REAL image decoders: n_pixels, pixel_sum, pixel_min, pixel_max

@@ -84,3 +84,50 @@ def test_scores_nonnegative_and_sized():
     s = lad_scores(d)
     assert s.shape == (25,)
     assert (s >= 0).all()
+
+
+def test_degenerate_all_equal_distances_matches_scipy_order():
+    """4 points, ALL pairwise distances equal (0.5): hand-derived
+    scipy-then-reference tree. Prim from 0 emits (0,1),(0,2),(0,3); stable
+    sort keeps that order; scipy label() produces node4=(0,1),
+    node5=(2,4), node6=(3,5). Reference swaps smaller-count left, keeping
+    ascending ids on count ties. DFS (smaller-left) emission order is
+    therefore 3, 2, 0, 1."""
+    d = np.full((4, 4), 0.5)
+    np.fill_diagonal(d, 0.0)
+    merges = single_linkage_merges(d)
+    # merge sequence: cluster-id pairs as SETS (orientation is normalized
+    # by the swap rule inside lad_ranking, same as scipy label's ordering)
+    assert [frozenset(m[:2]) for m in merges] == \
+        [frozenset({0, 1}), frozenset({2, 4}), frozenset({3, 5})]
+    _, order = lad_ranking(d)
+    assert list(order) == [3, 2, 0, 1]
+
+
+def test_degenerate_equal_size_tie_keeps_smaller_cluster_id_left():
+    """Two 2-leaf clusters merging at the root with EQUAL sizes: d(0,1) =
+    d(2,3) = 0.1, cross = 0.5. Hand-derived scipy tree: node4=(0,1),
+    node5=(2,3), root=(4,5) — the count tie keeps ascending ids, so the
+    {0,1} cluster (id 4) stays LEFT and DFS emits 0,1,2,3."""
+    d = np.array([[0.0, 0.1, 0.5, 0.5],
+                  [0.1, 0.0, 0.5, 0.5],
+                  [0.5, 0.5, 0.0, 0.1],
+                  [0.5, 0.5, 0.1, 0.0]])
+    merges = single_linkage_merges(d)
+    assert [frozenset(m[:2]) for m in merges] == \
+        [frozenset({0, 1}), frozenset({2, 3}), frozenset({4, 5})]
+    _, order = lad_ranking(d)
+    assert list(order) == [0, 1, 2, 3]
+
+
+def test_degenerate_leaf_pair_tie_smaller_leaf_left():
+    """Equal-size LEAF tie inside one merge: with node4=(0,1) the swap
+    rule must keep leaf 0 left of leaf 1 (ascending ids, scipy row
+    order). Scores must be nondecreasing along the ranking in all
+    degenerate cases."""
+    d = np.full((4, 4), 0.5)
+    np.fill_diagonal(d, 0.0)
+    scores, order = lad_ranking(d)
+    pos = {int(v): i for i, v in enumerate(order)}
+    assert pos[0] < pos[1]
+    assert (np.diff(scores) >= -1e-12).all()

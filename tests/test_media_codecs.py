@@ -300,8 +300,10 @@ def test_jpeg_shapes_grayscale_and_dispatch():
 
 
 def test_jpeg_rejects_and_gates():
-    """Truncated/corrupt payloads are ValueError; progressive and arithmetic
-    processes gate with NotImplementedError (need native libs)."""
+    """Truncated/corrupt payloads are ValueError; arithmetic processes
+    gate with NotImplementedError (need native libs). Progressive (SOF2)
+    is now SUPPORTED, so a truncated SOF2 header is a ValueError
+    (missing SOS), not a gate."""
     import struct
 
     with pytest.raises(ValueError):
@@ -310,8 +312,8 @@ def test_jpeg_rejects_and_gates():
         codecs.decode_jpeg(b"\xff\xd8\xff\xe0")     # truncated, no SOS
     sof2 = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 8)
             + b"\x08\x00\x08\x00\x08\x01")
-    with pytest.raises(NotImplementedError):
-        codecs.decode_jpeg(sof2)                     # progressive
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(sof2)          # progressive but truncated/no SOS
     sof9 = (b"\xff\xd8\xff\xc9" + struct.pack(">H", 8)
             + b"\x08\x00\x08\x00\x08\x01")
     with pytest.raises(NotImplementedError):

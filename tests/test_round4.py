@@ -224,3 +224,51 @@ def test_joins_default_parts_without_counting_lazy_inputs():
     out = asof_join(lds, rds).to_pandas().sort_values("event_id")
     assert list(out.matched_event_id) == [10, 11]
     assert list(out.matched_value) == [1.5, 2.5]
+
+
+# ------------------------------------------------------ progressive JPEG
+
+def test_progressive_jpeg_matches_baseline_decode():
+    """encode_jpeg(progressive=True) writes SOF2 with all four
+    progressive scan kinds (DC first/refine + AC first/refine); the scan
+    script partitions the same quantized coefficients bit-exactly, so
+    decoding it must give PIXEL-IDENTICAL output to decoding the baseline
+    encode of the same image — this exercises EOB runs, ZRL, and the
+    AC correction-bit algorithm with real nonzero coefficients."""
+    from raydedup.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(21)
+    for trial in range(6):
+        h, w = (int(x) for x in rng.integers(8, 64, size=2))
+        gray = trial % 2 == 0
+        img = rng.integers(0, 256,
+                           size=(h, w) if gray else (h, w, 3)) \
+            .astype(np.uint8)
+        q = int(rng.integers(30, 100))
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog_bytes = encode_jpeg(img, quality=q, progressive=True)
+        assert prog_bytes[2:4] != b"\xff\xc0"
+        assert b"\xff\xc2" in prog_bytes[:200]        # SOF2 marker present
+        prog = decode_jpeg(prog_bytes)
+        np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_jpeg_constant_blocks_exact():
+    """Constant 8x8 blocks at quality 100 round-trip EXACTLY (lone DC
+    coefficient, unit quantizer) — the property the
+    media_progressive_roundtrip oracle relies on."""
+    from raydedup.codecs import decode_jpeg, encode_jpeg
+
+    vals = np.array([0, 1, 17, 127, 128, 200, 255], np.uint8)
+    img = np.repeat(np.repeat(vals[None, :], 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg(img, quality=100, progressive=True))
+    np.testing.assert_array_equal(out[..., 0], img)
+
+
+def test_progressive_jpeg_truncation_raises():
+    from raydedup.codecs import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16), 90, np.uint8)
+    b = encode_jpeg(img, quality=80, progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(b[: len(b) - 8])
