@@ -451,7 +451,7 @@ def _q_top_terms(sf_dir: str):
     from raydedup.stages.vocab import top_terms
     out = top_terms(_documents(sf_dir).select_columns(["doc_id", "text"]),
                     k=100, min_docs=5)
-    return _collect(out, pa.schema([("term", pa.large_string()),
+    return _collect(out, pa.schema([("term", pa.string()),
                                     ("df", pa.int64())]))
 
 
@@ -516,7 +516,7 @@ def _q_redact_pii(sf_dir: str):
     out = redact_pii(_pii_docs(sf_dir))
     return _collect(out, pa.schema([
         ("doc_id", pa.int64()), ("n_urls", pa.int64()),
-        ("n_emails", pa.int64()), ("clean_text", pa.large_string()),
+        ("n_emails", pa.int64()), ("clean_text", pa.string()),
     ])).sort_by("doc_id")
 
 
@@ -743,15 +743,28 @@ def _footer_docs(sf_dir: str) -> ray.data.Dataset:
 
 
 def _q_boilerplate_lines(sf_dir: str):
-    """Corpus-wide hot-line inventory over the planted-footer corpus."""
+    """Corpus-wide hot-line inventory over the planted-footer corpus.
+
+    Gated via the PLANTED-FOOTER derivation (deterministic footers appended
+    in _footer_docs) BY DESIGN: the shipped documents contain no newlines,
+    so the stage over raw docs would pass vacuously at 0 rows; the planted
+    derivation is mirrored line-for-line in the SQL oracle, so the surface
+    cannot silently regress if the testdata changes."""
     from raydedup.stages.boilerplate import boilerplate_lines
     return boilerplate_lines(_footer_docs(sf_dir), min_docs=50)
 
 
 def _q_remove_boilerplate(sf_dir: str):
-    """Boilerplate-line removal: every doc rewritten without hot lines."""
+    """Boilerplate-line removal: every doc rewritten without hot lines.
+    Collected with clean_text cast to string so the engine/oracle Arrow
+    types agree exactly (DuckDB emits string, Arrow kernels large_string;
+    the driver's pandas canonicalization tolerates either, the stricter
+    tools/hashsim.py gate does not)."""
     from raydedup.stages.boilerplate import remove_boilerplate
-    return remove_boilerplate(_footer_docs(sf_dir), min_docs=50)
+    out = remove_boilerplate(_footer_docs(sf_dir), min_docs=50)
+    return _collect(out, pa.schema([
+        ("doc_id", pa.int64()), ("clean_text", pa.string()),
+        ("n_removed", pa.int64())]))
 
 
 def _q_planted_dup_groups(sf_dir: str):
@@ -1206,7 +1219,7 @@ def _semantic_dedup_sql() -> str:
                     AND b.vec_id < a.vec_id))
           GROUP BY a.vec_id
         )
-        SELECT c.vec_id, c.cell, c.centroid_sim,
+        SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, c.centroid_sim,
                coalesce(p.mp, -2.0) AS max_prior_sim,
                CAST(coalesce(p.mp, -2.0) < 0.4 AS BIGINT) AS keep
         FROM cs c LEFT JOIN prior p ON p.vec_id = c.vec_id

@@ -85,8 +85,9 @@ def test_multimodal_real_decode_gated():
     import struct
 
     actor = multimodal.DecodeImageActor(fake=False)
-    # minimal SOF2 (progressive) header — honest NotImplementedError
-    prog = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 8)
+    # minimal SOF9 (arithmetic-coded) header — honest NotImplementedError
+    # (SOF2 progressive is now a real decode path, test_round4)
+    prog = (b"\xff\xd8\xff\xc9" + struct.pack(">H", 8)
             + b"\x08\x00\x08\x00\x08\x01")
     batch = pa.table({
         "media_id": pa.array([1], pa.int64()),
@@ -129,9 +130,9 @@ def test_checkpoint_resume(tmp_path, tiny_corpus):
     # rep_sigs is intentionally NOT checkpointed: it is a lazy projection
     # fused into the banding scan (materializing it was a near-full copy of
     # the signature table at corpus scale)
-    assert {"signatures.manifest.json",
+    assert {"signatures-lean.manifest.json",
             "verified_pairs.manifest.json"} <= set(manifests)
-    meta = json.load(open(os.path.join(ck, "signatures.manifest.json")))
+    meta = json.load(open(os.path.join(ck, "signatures-lean.manifest.json")))
     assert meta["rows"] == 120 and meta["rows_per_s"] > 0
 
     # poison the parquet of verified_pairs to prove resume READS it rather
