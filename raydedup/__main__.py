@@ -136,7 +136,8 @@ def main(argv: list[str] | None = None) -> int:
         # the full signature schema; plain runs use the lean table
         res = run_on_parquet(args.input, cfg, issues_to_detect=issues,
                              ckpt_dir=args.ckpt_dir,
-                             store_shingles=args.write_signatures)
+                             store_shingles=True if args.write_signatures
+                             else None)
         from raydedup.stages.cluster import keep_representatives
         surfaces = {
             "verified_pairs": res.verified_pairs,

@@ -120,6 +120,15 @@ class EngineConfig:
     # 8 GiB fits the 128 GiB target node with wide margin. The semi-
     # filtered hash-join path beyond is the true cluster-scale fallback.
     broadcast_byte_limit: int = 8 << 30
+    # lean-signature auto threshold: run_pipeline(store_shingles=None)
+    # stores the shingle payload for corpora BELOW this row count (the
+    # whole table is object-store-trivial there and the verify-time
+    # recompute's fixed re-read cost dominates — measured +0.5 s on the
+    # 50k driver bench) and goes LEAN at or above it (the payload is 87%
+    # of signature bytes and the recompute is CPU-parallel work replacing
+    # non-scaling object-store fault volume — measured 14.0 -> 1.8 GB and
+    # 4->16 efficiency 0.76 -> 0.81 at 1.6M rows).
+    lean_sigs_min_rows: int = 100_000
     # per-partition checkpointing of the signature stage (hash(id) % parts);
     # chunk_parts bounds work lost to a mid-run kill (None = one job).
     ckpt_num_parts: int = 16

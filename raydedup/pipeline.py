@@ -105,7 +105,7 @@ def run_pipeline(code_files: ray.data.Dataset,
                  ckpt_dir: Optional[str] = None,
                  input_token: str = "",
                  pre_blocked: bool = False,
-                 store_shingles: bool = False,
+                 store_shingles: bool | None = None,
                  ) -> DedupResult:
     """Flagship run. With ckpt_dir set, every wide-stage output is written to
     per-stage Parquet with a lineage manifest; a rerun with the same config +
@@ -117,14 +117,17 @@ def run_pipeline(code_files: ray.data.Dataset,
     into ingest+signatures and the raw content never enters the object
     store.
 
-    store_shingles=False (default): the materialized signature table is
-    LEAN — the packed shingle-set column (~87% of the table's bytes at
-    ~940 mean shingles/doc) is never stored; verification recomputes exact
-    shingle sets from content for the candidate-touched subset only
-    (verify.verify_pairs(shingle_source=...); bit-identical results, same
-    kernels). Pass True when the signature table itself is the product a
-    later self-contained run needs (CLI --write-signatures feeding
-    --base-sigs)."""
+    store_shingles: None (default) picks cost-based — store the shingle
+    payload below cfg.lean_sigs_min_rows rows (object-store-trivial
+    there; the recompute's fixed re-read cost dominates), LEAN at or
+    above it (or when the row count is unknown): the packed shingle-set
+    column (~87% of the table's bytes at ~940 mean shingles/doc) is
+    never stored and verification recomputes exact shingle sets from
+    content for the candidate-touched subset only
+    (verify.verify_pairs(shingle_source=...); bit-identical results,
+    same kernels — parity-gated in tests/test_round4.py). True forces
+    storing (the CLI --write-signatures surface feeding --base-sigs must
+    be self-contained); False forces lean."""
     cfg = cfg or EngineConfig()
     issues = {IssueType.canonical(i) for i in issues_to_detect}
 
@@ -192,6 +195,11 @@ def run_pipeline(code_files: ray.data.Dataset,
     except Exception:
         _n_rows = None
     _blocks = _target_blocks(_n_rows, _cpus)
+    if store_shingles is None:
+        # cost-based: see the docstring; unknown row count -> lean (the
+        # safe choice at scale, and in-memory toy inputs answer count())
+        store_shingles = _n_rows is not None \
+            and _n_rows < cfg.lean_sigs_min_rows
     # pre_blocked inputs were block-sized at the read: skip the all-to-all
     # content exchange (it re-wrote every content byte to the object store,
     # and /dev/shm's concurrent page-fault path is this host's measured
@@ -368,7 +376,7 @@ def run_pipeline(code_files: ray.data.Dataset,
 def run_on_parquet(path: str, cfg: Optional[EngineConfig] = None,
                    issues_to_detect: Sequence[IssueType] = DEFAULT_ISSUES,
                    ckpt_dir: Optional[str] = None,
-                   store_shingles: bool = False) -> DedupResult:
+                   store_shingles: bool | None = None) -> DedupResult:
     """Flagship entry (analog of run_on_image_folder, selfclean.py:127-173).
 
     Sizes the read's blocks at the source so run_pipeline can skip its

@@ -124,7 +124,8 @@ def test_checkpoint_resume(tmp_path, tiny_corpus):
     code_dir, _ = corpus.write_corpus(str(tmp_path / "corp"), 120, seed=7,
                                       num_files=2)
     ck = str(tmp_path / "ckpt")
-    res1 = run_on_parquet(code_dir, ckpt_dir=ck)
+    res1 = run_on_parquet(code_dir, ckpt_dir=ck,
+                          store_shingles=False)
     n1 = res1.verified_pairs.count()
     manifests = [f for f in os.listdir(ck) if f.endswith(".manifest.json")]
     # rep_sigs is intentionally NOT checkpointed: it is a lazy projection
@@ -142,7 +143,8 @@ def test_checkpoint_resume(tmp_path, tiny_corpus):
     tb = pq.read_table(os.path.join(vp_dir, files[0]))
     for f in files:
         pq.write_table(tb.slice(0, 0), os.path.join(vp_dir, f))
-    res2 = run_on_parquet(code_dir, ckpt_dir=ck)
+    res2 = run_on_parquet(code_dir, ckpt_dir=ck,
+                          store_shingles=False)
     assert res2.verified_pairs.count() == 0      # came from checkpoint
 
     # different config -> manifest mismatch -> recompute

@@ -287,7 +287,8 @@ def test_partitioned_checkpoint_resume_skips_done_parts(tmp_path):
     code_dir, _ = corpus.write_corpus(str(tmp_path / "c"), 150, seed=5,
                                       num_files=2)
     ck = str(tmp_path / "ck")
-    res1 = run_on_parquet(code_dir, ckpt_dir=ck)
+    res1 = run_on_parquet(code_dir, ckpt_dir=ck,
+                          store_shingles=False)
     assert res1.signatures.count() == 150
     sig_dir = os.path.join(ck, "signatures-lean")
     markers = [f for f in os.listdir(sig_dir) if f.endswith(".done.json")]
@@ -317,7 +318,8 @@ def test_partitioned_checkpoint_resume_skips_done_parts(tmp_path):
             pq.write_table(t.slice(0, 0), p)
     os.remove(os.path.join(ck, "signatures-lean.manifest.json"))
 
-    res2 = run_on_parquet(code_dir, ckpt_dir=ck)
+    res2 = run_on_parquet(code_dir, ckpt_dir=ck,
+                          store_shingles=False)
     assert res2.signatures.count() == 150 - b_rows
     assert pq.read_table(os.path.join(sig_dir, a)).num_rows == a_rows
 

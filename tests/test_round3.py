@@ -316,7 +316,8 @@ def test_verified_pairs_partitioned_resume(tmp_path):
     code_dir, _ = corpus.write_corpus(str(tmp_path / "c"), 200, seed=11,
                                       num_files=2)
     ck = str(tmp_path / "ck")
-    res1 = run_on_parquet(code_dir, ckpt_dir=ck)
+    res1 = run_on_parquet(code_dir, ckpt_dir=ck,
+                          store_shingles=False)
     vp1 = res1.verified_pairs.to_pandas() \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert len(vp1) > 0
@@ -334,7 +335,8 @@ def test_verified_pairs_partitioned_resume(tmp_path):
     os.remove(os.path.join(vdir, f"part={ai}.done.json"))
     os.remove(os.path.join(ck, "verified_pairs.manifest.json"))
 
-    res2 = run_on_parquet(code_dir, ckpt_dir=ck)
+    res2 = run_on_parquet(code_dir, ckpt_dir=ck,
+                          store_shingles=False)
     vp2 = res2.verified_pairs.to_pandas() \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert vp1.equals(vp2)
@@ -369,7 +371,8 @@ def test_ckpt_fingerprint_detects_same_count_edit(tmp_path):
     code_dir, _ = corpus.write_corpus(str(tmp_path / "c"), 120, seed=7,
                                       num_files=1)
     ck = str(tmp_path / "ck")
-    res1 = run_on_parquet(code_dir, ckpt_dir=ck)
+    res1 = run_on_parquet(code_dir, ckpt_dir=ck,
+                          store_shingles=False)
     assert res1.signatures.count() == 120
 
     sig_dir = os.path.join(ck, "signatures-lean")
@@ -399,7 +402,8 @@ def test_ckpt_fingerprint_detects_same_count_edit(tmp_path):
                      pa.array(texts, t.column("content").type))
     pq.write_table(t, p)
 
-    res2 = run_on_parquet(code_dir, ckpt_dir=ck)
+    res2 = run_on_parquet(code_dir, ckpt_dir=ck,
+                          store_shingles=False)
     # edited input -> every partition recomputed, poisoned rows restored
     assert res2.signatures.count() == 120
 

@@ -74,12 +74,13 @@ def test_lean_join_fallback_bit_identical(monkeypatch):
 
     tbl = _near_dup_corpus(n=40, seed=5)
     issues = [IssueType.NEAR_DUPLICATES]
-    base = run_pipeline(rd.from_arrow(tbl), issues_to_detect=issues)
+    base = run_pipeline(rd.from_arrow(tbl), issues_to_detect=issues,
+                        store_shingles=False)
     import dataclasses
     cfg = EngineConfig()
     cfg_forced = dataclasses.replace(cfg, broadcast_id_limit=0)
     forced = run_pipeline(rd.from_arrow(tbl), cfg_forced,
-                          issues_to_detect=issues)
+                          issues_to_detect=issues, store_shingles=False)
     vp_b, _ = _snap(base)
     vp_f, _ = _snap(forced)
     assert len(vp_b) > 0
@@ -272,3 +273,22 @@ def test_progressive_jpeg_truncation_raises():
     b = encode_jpeg(img, quality=80, progressive=True)
     with pytest.raises(ValueError):
         decode_jpeg(b[: len(b) - 8])
+
+
+def test_store_shingles_auto_threshold():
+    """None (auto) stores below cfg.lean_sigs_min_rows and goes lean at or
+    above it; explicit True/False override."""
+    import dataclasses
+
+    from raydedup.config import EngineConfig
+    from raydedup.issues import IssueType
+    from raydedup.pipeline import run_pipeline
+
+    tbl = _near_dup_corpus(n=10, seed=2)
+    issues = [IssueType.NEAR_DUPLICATES]
+    auto_small = run_pipeline(rd.from_arrow(tbl), issues_to_detect=issues)
+    assert "shingles" in auto_small.signatures.schema().names
+    cfg_low = dataclasses.replace(EngineConfig(), lean_sigs_min_rows=1)
+    auto_big = run_pipeline(rd.from_arrow(tbl), cfg_low,
+                            issues_to_detect=issues)
+    assert "shingles" not in auto_big.signatures.schema().names
