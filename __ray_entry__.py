@@ -419,6 +419,21 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ev, gap_s=1800)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic 5-per-language sample: within each lang, the 5 docs
+    with the smallest (splitmix64(doc_id), doc_id) rank. The oracle
+    replays splitmix64 in generated SQL (the hash_sample/simhash
+    construction) inside a QUALIFY row_number() partition cut, so the
+    sampled id SET per group is value-checked, not just its size."""
+    from raydedup.stages.sample import stratified_sample
+    return _collect(
+        stratified_sample(_documents(sf_dir)
+                          .select_columns(["doc_id", "lang", "n_chars"]),
+                          k=5),
+        pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                   ("n_chars", pa.int64())])).sort_by("doc_id")
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic 10% hash sample (splitmix64(doc_id) % 1000 < 100):
     reproducible on any cluster in any order; the oracle replays
@@ -1022,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
         "asof_join_events": _q_asof_join_events,
         "range_join_agg": _q_range_join_agg,
         "substring_pairs": _q_substring_pairs,
@@ -1710,6 +1726,20 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": f"""
             SELECT doc_id, lang, n_chars FROM documents
             WHERE ({_sm64_sql("CAST(doc_id AS UBIGINT)")}) % 1000 < 100
+            ORDER BY doc_id
+        """,
+        # stratified k-per-group sample: same generated splitmix64 replay,
+        # ranked inside a QUALIFY partition cut with the engine's
+        # (hash ASC, id ASC) tie rule
+        "stratified_sample": f"""
+            WITH h AS (
+              SELECT doc_id, lang, n_chars,
+                     ({_sm64_sql("CAST(doc_id AS UBIGINT)")}) AS srank
+              FROM documents
+            )
+            SELECT doc_id, lang, n_chars FROM h
+            QUALIFY row_number() OVER (
+              PARTITION BY lang ORDER BY srank, doc_id) <= 5
             ORDER BY doc_id
         """,
         # grouped top-k with the engine's (value DESC, id ASC) tie rule

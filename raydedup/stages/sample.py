@@ -54,3 +54,38 @@ def hash_sample(ds: ray.data.Dataset, id_col: str = "doc_id",
         return t.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(ds: ray.data.Dataset, k: int,
+                      group_col: str = "lang", id_col: str = "doc_id",
+                      salt: int = 0) -> ray.data.Dataset:
+    """Deterministic k-per-group sample: within each group, keep the k rows
+    with the smallest (splitmix64(id ^ salt), id) rank — the balanced
+    per-language/per-source cap every multilingual corpus pipeline needs,
+    with all of hash_sample's properties (reproducible on any cluster,
+    partition- and order-invariant, salt-seedable; groups smaller than k
+    keep all rows). Non-null id contract as hash_sample.
+
+    Execution reuses the grouped top-k machinery (stages/topk.py): a
+    map-side PARTIAL top-k combiner ships at most k rows per group per
+    batch, then ONE grouped final cut — the wide step moves
+    O(k * groups * batches) rows, never the corpus."""
+    from raydedup.stages.topk import top_k_per_group
+    s = np.uint64(salt)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        col = t.column(id_col)
+        if col.null_count:
+            raise ValueError(
+                f"stratified_sample: {col.null_count} null value(s) in id "
+                f"column {id_col!r} — sampling requires non-null ids")
+        ids = col.cast(pa.int64()).to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        return t.append_column("_srank",
+                               pa.array(splitmix64(ids ^ s), pa.uint64()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    out = top_k_per_group(ranked, group_col, "_srank", id_col, k,
+                          descending=False)
+    return out.map_batches(lambda t: t.drop_columns(["_srank"]),
+                           batch_format="pyarrow")

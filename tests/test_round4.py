@@ -292,3 +292,42 @@ def test_store_shingles_auto_threshold():
     auto_big = run_pipeline(rd.from_arrow(tbl), cfg_low,
                             issues_to_detect=issues)
     assert "shingles" not in auto_big.signatures.schema().names
+
+
+# --------------------------------------------------- stratified sampling
+
+def test_stratified_sample_deterministic_and_partition_invariant():
+    """k-per-group cut is identical across block layouts and matches the
+    numpy oracle (splitmix64 rank, id tie-break, small groups whole)."""
+    from raydedup.kernels import splitmix64
+    from raydedup.stages.sample import stratified_sample
+
+    rng = np.random.default_rng(8)
+    n = 400
+    ids = rng.permutation(np.arange(1, n + 1)).astype(np.int64)
+    langs = np.array(["en", "de", "fr", "xx"])[rng.integers(0, 4, n)]
+    langs[ids <= 2] = "rare"              # group smaller than k
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "lang": pa.array(langs, pa.string()),
+                  "n_chars": pa.array(ids * 3, pa.int64())})
+    h = splitmix64(ids.view(np.uint64))
+    want = set()
+    for g in np.unique(langs):
+        m = langs == g
+        order = np.lexsort((ids[m], h[m]))
+        want |= set(ids[m][order][:5].tolist())
+    for nblocks in (1, 7):
+        got = stratified_sample(
+            rd.from_arrow(t).repartition(nblocks), k=5).to_pandas()
+        assert set(got.doc_id) == want
+        assert (got[got.lang == "rare"].doc_id.nunique()
+                == int((langs == "rare").sum()))
+
+
+def test_stratified_sample_null_id_raises():
+    from raydedup.stages.sample import stratified_sample
+
+    t = pa.table({"doc_id": pa.array([1, None], pa.int64()),
+                  "lang": pa.array(["en", "en"], pa.string())})
+    with pytest.raises(Exception, match="null"):
+        stratified_sample(rd.from_arrow(t), k=1).to_pandas()
