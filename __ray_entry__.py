@@ -419,6 +419,22 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ev, gap_s=1800)
 
 
+_QUANTILE_QS = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+
+
+def _q_column_quantiles(sf_dir: str):
+    """Distributed EXACT quantiles of documents.n_chars via iterative
+    histogram-refinement rank select (stages/quantiles.py — no global
+    sort, no driver stream; every pass ships one (bins,) count vector per
+    batch). Lower/disc rank convention floor(q*(n-1)), which the oracle
+    states EXPLICITLY with row_number so no DuckDB-internal quantile
+    convention is assumed."""
+    from raydedup.stages.quantiles import quantile_select
+    return quantile_select(
+        _documents(sf_dir).select_columns(["n_chars"]), "n_chars",
+        _QUANTILE_QS)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic 5-per-language sample: within each lang, the 5 docs
     with the smallest (splitmix64(doc_id), doc_id) rank. The oracle
@@ -1038,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "column_quantiles": _q_column_quantiles,
         "asof_join_events": _q_asof_join_events,
         "range_join_agg": _q_range_join_agg,
         "substring_pairs": _q_substring_pairs,
@@ -1727,6 +1744,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE ({_sm64_sql("CAST(doc_id AS UBIGINT)")}) % 1000 < 100
             ORDER BY doc_id
+        """,
+        # exact order statistics with the rank convention stated explicitly
+        # (floor(q*(n-1)) over the ascending order) — value at a rank is
+        # well-defined under ties regardless of row_number tie order
+        "column_quantiles": f"""
+            WITH s AS (
+              SELECT CAST(n_chars AS DOUBLE) AS v,
+                     row_number() OVER (ORDER BY n_chars) - 1 AS rk
+              FROM documents
+            ), c AS (SELECT count(*) AS n FROM documents),
+            qs(q) AS (VALUES {", ".join(f"({q})" for q in _QUANTILE_QS)})
+            SELECT CAST(q AS DOUBLE) AS q, v AS value
+            FROM qs, c
+            JOIN s ON s.rk = CAST(floor(q * (c.n - 1) + 1e-9) AS BIGINT)
+            ORDER BY q
         """,
         # stratified k-per-group sample: same generated splitmix64 replay,
         # ranked inside a QUALIFY partition cut with the engine's

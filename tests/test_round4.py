@@ -331,3 +331,45 @@ def test_stratified_sample_null_id_raises():
                   "lang": pa.array(["en", "en"], pa.string())})
     with pytest.raises(Exception, match="null"):
         stratified_sample(rd.from_arrow(t), k=1).to_pandas()
+
+
+# ------------------------------------------------ distributed quantiles
+
+def test_quantile_select_exact_vs_numpy():
+    """Exact order statistics (floor(q*(n-1)) lower convention) across
+    distributions: uniform ints, heavy ties, floats with NaNs, tiny
+    collect_cap forcing multiple refinement passes."""
+    from raydedup.stages.quantiles import quantile_select
+
+    rng = np.random.default_rng(4)
+    qs = [0.0, 0.05, 0.5, 0.95, 1.0]
+    cases = []
+    v1 = rng.integers(-1000, 1000, 5000).astype(np.int64)
+    cases.append(("int", pa.array(v1, pa.int64()), v1.astype(float)))
+    v2 = v1.astype(float).copy()
+    v2[:2000] = 3.25                      # heavy tie mass
+    nanv = np.r_[v2, np.full(100, np.nan)]
+    cases.append(("float+nan", pa.array(nanv, pa.float64()), v2))
+    for name, arr, clean in cases:
+        t = pa.table({"x": arr})
+        out = quantile_select(rd.from_arrow(t).repartition(6), "x", qs,
+                              bins=16, collect_cap=50)
+        got = dict(zip(out.column("q").to_pylist(),
+                       out.column("value").to_pylist()))
+        sv = np.sort(clean)
+        for q in qs:
+            want = float(sv[int(np.floor(q * (len(sv) - 1) + 1e-9))])
+            assert got[q] == want, (name, q, got[q], want)
+
+
+def test_quantile_select_all_equal_and_errors():
+    from raydedup.stages.quantiles import quantile_select
+
+    t = pa.table({"x": pa.array([7] * 100, pa.int64())})
+    out = quantile_select(rd.from_arrow(t), "x", [0.0, 0.5, 1.0])
+    assert set(out.column("value").to_pylist()) == {7.0}
+    with pytest.raises(ValueError, match="quantiles"):
+        quantile_select(rd.from_arrow(t), "x", [1.5])
+    empty = pa.table({"x": pa.array([None, None], pa.float64())})
+    with pytest.raises(Exception):
+        quantile_select(rd.from_arrow(empty), "x", [0.5])
