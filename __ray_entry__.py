@@ -284,6 +284,23 @@ def _q_near_dedup_keep_list(sf_dir: str):
     return keep_representatives(res.clusters)
 
 
+def _q_dedup_report(sf_dir: str):
+    """Per-language duplicate-rate report over the flagship cluster table:
+    (lang, n_docs, n_dups, dup_frac) where a doc is a duplicate iff its id
+    differs from its component's min-id label — ONE hash join + one tiny
+    grouped sum on top of the same clusters dup_clusters gates. The oracle
+    replays the recursive-CTE components and aggregates per lang."""
+    from raydedup.issues import dedup_report
+    from raydedup.pipeline import run_pipeline
+    res = run_pipeline(_docs_as_code(sf_dir))
+    return _collect(
+        dedup_report(res.clusters, _documents(sf_dir)
+                     .select_columns(["doc_id", "lang"])),
+        pa.schema([("lang", pa.string()), ("n_docs", pa.int64()),
+                   ("n_dups", pa.int64()), ("dup_frac", pa.float64())])
+    ).sort_by("lang")
+
+
 def _q_dedup_summary(sf_dir: str):
     """Corpus-level one-row dedup report over the flagship outputs."""
     from raydedup.issues import dedup_summary
@@ -1055,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "column_quantiles": _q_column_quantiles,
+        "dedup_report": _q_dedup_report,
         "asof_join_events": _q_asof_join_events,
         "range_join_agg": _q_range_join_agg,
         "substring_pairs": _q_substring_pairs,
@@ -2058,6 +2076,18 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": f"""
             WITH RECURSIVE {_CC_CTES}
             SELECT id, cluster_id FROM allc
+        """,
+        "dedup_report": f"""
+            WITH RECURSIVE {_CC_CTES}
+            SELECT d.lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN a.id <> a.cluster_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+                   CAST(sum(CASE WHEN a.id <> a.cluster_id
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS dup_frac
+            FROM allc a JOIN documents d ON d.doc_id = a.id
+            GROUP BY d.lang ORDER BY d.lang
         """,
         "near_dedup_keep_list": f"""
             WITH RECURSIVE {_CC_CTES}

@@ -148,3 +148,49 @@ def dedup_summary(res: DedupResult) -> "object":
         "n_multi_clusters": pa.array([n_multi], pa.int64()),
         "n_docs_removed": pa.array([n_docs - n_clusters], pa.int64()),
     })
+
+
+def dedup_report(clusters, meta, group_col: str = "lang",
+                 id_col: str = "doc_id", num_partitions: int = 16):
+    """Per-group duplicate-rate report: join group labels onto the cluster
+    table and aggregate -> (group_col, n_docs, n_dups, dup_frac). A row is
+    a duplicate iff id != cluster_id (cluster labels are the component min
+    id — keep_representatives' keep rule), so the report needs NO second
+    cluster aggregate: ONE hash join on id + one tiny grouped sum. The
+    slice-level "how much of my corpus is duplicated, by language/source"
+    view every corpus operator reads next to dedup_summary's one-row
+    totals."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from raydedup.util import hash_join
+
+    m = meta.select_columns([id_col, group_col]) \
+        .rename_columns({id_col: "_mid"})
+    j = hash_join(clusters, m, on="id", right_on="_mid",
+                  num_partitions=num_partitions)
+
+    def flag(t: pa.Table) -> pa.Table:
+        dup = pc.not_equal(t.column("id"), t.column("cluster_id"))
+        return pa.table({
+            group_col: t.column(group_col),
+            "_dup": pc.cast(dup, pa.int64()),
+        })
+
+    g = j.map_batches(flag, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(
+            Count(alias_name="n_docs"),
+            Sum("_dup", alias_name="n_dups"))
+
+    def frac(t: pa.Table) -> pa.Table:
+        nd = t.column("n_dups").cast(pa.float64())
+        n = t.column("n_docs").cast(pa.float64())
+        return pa.table({
+            group_col: t.column(group_col),
+            "n_docs": t.column("n_docs").cast(pa.int64()),
+            "n_dups": t.column("n_dups").cast(pa.int64()),
+            "dup_frac": pc.divide(nd, n),
+        })
+
+    return g.map_batches(frac, batch_format="pyarrow")

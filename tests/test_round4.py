@@ -373,3 +373,27 @@ def test_quantile_select_all_equal_and_errors():
     empty = pa.table({"x": pa.array([None, None], pa.float64())})
     with pytest.raises(Exception):
         quantile_select(rd.from_arrow(empty), "x", [0.5])
+
+
+# ------------------------------------------------------ dedup report
+
+def test_dedup_report_counts_hand_computed():
+    """Per-group duplicate rates from a hand-built cluster table: dup iff
+    id != cluster_id (min-id labels), groups joined by id."""
+    from raydedup.issues import dedup_report
+
+    clusters = pa.table({
+        "id": pa.array([1, 2, 3, 10, 11, 20], pa.int64()),
+        "cluster_id": pa.array([1, 1, 1, 10, 10, 20], pa.int64()),
+    })
+    meta = pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11, 20], pa.int64()),
+        "lang": pa.array(["en", "en", "de", "de", "de", "fr"],
+                         pa.string()),
+    })
+    out = dedup_report(rd.from_arrow(clusters), rd.from_arrow(meta)) \
+        .to_pandas().set_index("lang").sort_index()
+    assert out.loc["en"].n_docs == 2 and out.loc["en"].n_dups == 1
+    assert out.loc["de"].n_docs == 3 and out.loc["de"].n_dups == 2
+    assert out.loc["fr"].n_docs == 1 and out.loc["fr"].n_dups == 0
+    assert out.loc["de"].dup_frac == 2.0 / 3.0
