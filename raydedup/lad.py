@@ -14,17 +14,20 @@ start + (end-start)*p_right) and the white-space back-fill rectangles
 (lad_scoring.py:210-290); parity is gated by hand-computed small-N fixtures
 (tests/test_lad.py), including degenerate equal-distance/equal-size merges.
 
-Tie-order parity with the reference's scipy path (derivation, no scipy in
-this environment): scipy.cluster.hierarchy.linkage(method='single') builds
-the MST with Prim from vertex 0 (ties broken by lowest index via strict-<
-scans), stable-sorts the MST edges by distance, and relabels rows with
-Z[i,0] < Z[i,1] ascending cluster ids (_hierarchy label()); the reference
-then swaps the smaller-COUNT child left, keeping Z's ascending-id order on
-count ties (lad_scoring.py:103-108). This module's Prim + stable edge sort
-reproduce the identical merge sequence (hence identical cluster ids), and
+Tie-order parity with the reference's scipy path — DERIVED and
+FIXTURE-PINNED, not machine-verified against scipy (scipy is absent from
+this environment; tests/test_lad.py has a cross-check that runs whenever
+scipy IS importable): scipy.cluster.hierarchy.linkage(method='single')
+builds the MST with Prim from vertex 0 (ties broken by lowest index via
+strict-< scans), stable-sorts the MST edges by distance, and relabels rows
+with Z[i,0] < Z[i,1] ascending cluster ids (_hierarchy label()); the
+reference then swaps the smaller-COUNT child left, keeping Z's
+ascending-id order on count ties (lad_scoring.py:103-108). This module's
+Prim + stable edge sort are derived to reproduce that merge sequence, and
 its final swap rule — smaller size left, smaller cluster id left on size
-ties — is orientation-independent and equals scipy-then-reference order on
-every degenerate case (pinned by test_lad degenerate fixtures).
+ties — is orientation-independent and matches on every hand-derived
+degenerate fixture (test_lad); the derivation leans on scipy internals
+(MST edge-sort stability) that only the optional cross-check can pin.
 
 scipy is unavailable; single linkage is computed with an O(N^2) Prim MST —
 fine for the intended N <= a few thousand.

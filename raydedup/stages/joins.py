@@ -49,33 +49,21 @@ _RANGE_SCHEMA = pa.schema([
 ])
 
 
-def _num_parts(n_rows: int, rows_per_part: int = 200_000) -> int:
-    return max(1, n_rows // max(1, rows_per_part))
-
-
 def _default_parts(left, right) -> int:
     """Default partition count WITHOUT executing the inputs: lazy pipelines
     would run once per .count() and once more for the union (a ~3x input
-    scan — round-3 ADVICE item). Parquet-backed datasets answer count()
-    from metadata; anything else falls back to the cluster CPU count, which
-    is the right order for a hash exchange anyway."""
+    scan — round-3 ADVICE item). The cluster CPU count is the right order
+    for a hash exchange; callers with a known row volume pass num_parts
+    explicitly. (A non-empty input_files() does NOT mean count() is a
+    metadata lookup — transformed datasets keep file lineage and count()
+    would execute the whole pipeline, the exact scan this helper exists to
+    avoid — round-4 ADVICE item, so no count() probing at all here.)"""
     try:
         import ray as _ray
         cpus = int(_ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    total = 0
-    for ds in (left, right):
-        try:
-            if ds.input_files():          # metadata-backed source
-                total += ds.count()
-                continue
-        except Exception:
-            pass
-        return max(1, cpus)
-    # metadata counts available: at least one part per CPU, more when the
-    # row volume needs smaller per-partition working sets
-    return max(1, cpus, _num_parts(total))
+    return max(1, cpus)
 
 
 def _col_i64(t: pa.Table, name: str) -> np.ndarray:

@@ -224,10 +224,21 @@ def _assemble_broadcast2(num_perm: int, lo, hi, n_mh_blocks: int, *blocks):
     sub = kept[0] if len(kept) == 1 else \
         pa.concat_tables(kept, promote_options="default")
     sh_ids = sub.column("id").to_numpy(zero_copy_only=False)
+    # both sides MUST carry the same id multiset or the gather below would
+    # silently pair a row with the wrong shingle segment; a drifted
+    # shingle_source (or duplicate ids on one side only) fails loudly here
+    if len(sh_ids) != len(ids_m) or \
+            not np.array_equal(np.sort(sh_ids, kind="stable"), ids_m):
+        raise ValueError(
+            "lean-verify shingle side id set diverged from the minhash "
+            f"side ({len(sh_ids)} vs {len(ids_m)} rows): shingle_source "
+            "must be the (id, content) projection of the SAME ingested "
+            "input that produced the signatures")
     flat, offs = unpack_u64_flat(sub.column("shingles"))
     # row r of the mh side holds id ids_m[inv[r]] (inv = sorted position of
     # r); its shingle segment lives at sh row sperm[inv[r]] — both sides
-    # were filtered to the same id set, so the sorted id orders coincide
+    # carry the same id multiset (asserted above) with stable sorts on
+    # both, so equal ids keep their relative order and the maps coincide
     sperm = np.argsort(sh_ids, kind="stable")
     inv = np.empty(len(perm), dtype=np.int64)
     inv[perm] = np.arange(len(perm), dtype=np.int64)
@@ -278,7 +289,7 @@ def _assemble_broadcast(num_perm: int, lo, hi, *blocks):
     ids_orig = sub.column("id").to_numpy(zero_copy_only=False)
     # permutation indirection instead of physically reordering the payloads:
     # row for id x = perm[searchsorted(sorted_ids, x)]
-    perm = np.argsort(ids_orig)
+    perm = np.argsort(ids_orig, kind="stable")
     mh = unpack_u64_2d(sub.column("minhash"), num_perm)
     if "shingles" in sub.column_names:
         sh_flat, sh_offsets = unpack_u64_flat(sub.column("shingles"))

@@ -131,3 +131,33 @@ def test_degenerate_leaf_pair_tie_smaller_leaf_left():
     pos = {int(v): i for i, v in enumerate(order)}
     assert pos[0] < pos[1]
     assert (np.diff(scores) >= -1e-12).all()
+
+
+def test_scipy_cross_check_when_available():
+    """Machine-verifies the derived scipy tie-order parity whenever scipy
+    IS importable (lad.py docstring: the derivation leans on scipy
+    internals only this check can pin). Skips in environments without
+    scipy — the hand-derived fixtures above remain the floor."""
+    scipy_hier = pytest.importorskip("scipy.cluster.hierarchy")
+    squareform = pytest.importorskip("scipy.spatial.distance").squareform
+    rng = np.random.default_rng(7)
+    cases = [np.full((4, 4), 0.5),
+             np.array([[0.0, 0.1, 0.5, 0.5],
+                       [0.1, 0.0, 0.5, 0.5],
+                       [0.5, 0.5, 0.0, 0.1],
+                       [0.5, 0.5, 0.1, 0.0]])]
+    for _ in range(5):
+        pts = rng.standard_normal((8, 3))
+        cases.append(_dist_from_points(pts))
+    # quantized distances to force ties in the random cases too
+    pts = rng.integers(0, 3, size=(7, 2)).astype(float)
+    cases.append(_dist_from_points(pts))
+    for d in cases:
+        d = d.copy()
+        np.fill_diagonal(d, 0.0)
+        Z = scipy_hier.linkage(squareform(d, checks=False), method="single")
+        merges = single_linkage_merges(d)
+        got = [(frozenset(m[:2]), round(m[2], 12)) for m in merges]
+        want = [(frozenset({int(r[0]), int(r[1])}), round(float(r[2]), 12))
+                for r in Z]
+        assert got == want
