@@ -408,15 +408,28 @@ def rp_centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
 
 
 def _build_cells(ds: ray.data.Dataset, n_cells: int, seed: int,
-                 trained: bool) -> tuple[int, np.ndarray]:
+                 trained: bool, target_cell_rows: int | None = None
+                 ) -> tuple[int, int, np.ndarray]:
     """Coarse-quantizer cells shared by _ivf_route and semantic_dedup:
-    default C ~ sqrt(N)/2 (avg cell ~ 2 sqrt(N) rows), centroids trained
-    on a bounded driver-side sample (trained=True) or seeded
+    default C ~ sqrt(N)/2 (avg cell ~ 2 sqrt(N) rows) clamped at 256 —
+    UNLESS target_cell_rows is set, in which case C grows as
+    ceil(N / target_cell_rows) past the clamp so the average cell stays
+    bounded at any N (semantic_dedup's scale path; the two formulas agree
+    for every N <= ~2.1M at the default target, so small-scale results
+    are bit-identical to the historical clamp). Centroids are trained on
+    a bounded driver-side sample (trained=True) or seeded
     random-projection planes (trained=False, replayable by a SQL oracle).
-    Returns (resolved n_cells, unit-norm centroid matrix)."""
+    Returns (row count, resolved n_cells, unit-norm centroid matrix).
+
+    Driver-side cost is O(sample x C x dim) for training and a C x dim
+    float64 broadcast (~2 MB per 1k cells at dim 256) — at C beyond ~10^5
+    prefer trained=False (no training matmul) and expect the broadcast to
+    be a few hundred MB (ray.put once, shared by all tasks)."""
     n = ds.count()
     if n_cells <= 0:
         n_cells = max(1, min(256, int(round(np.sqrt(n / 4.0)))))
+        if target_cell_rows:
+            n_cells = max(n_cells, -(-n // target_cell_rows))
     n_cells = min(n_cells, max(1, n))
     batches = list(
         ds.select_columns(["embedding"]).limit(
@@ -426,7 +439,7 @@ def _build_cells(ds: ray.data.Dataset, n_cells: int, seed: int,
         else np.zeros((0, 0))            # empty dataset: degenerate cells
     cents = _train_centroids(smat, n_cells, seed) if trained \
         else rp_centroids(n_cells, smat.shape[1], seed)
-    return n_cells, cents
+    return n, n_cells, cents
 
 
 def _ivf_route(ds: ray.data.Dataset, id_col: str,
@@ -455,7 +468,7 @@ def _ivf_route(ds: ray.data.Dataset, id_col: str,
     quadratic in its size; the LSH plane's sha-representative collapse is
     the engine's answer for exact dups). Partitioning assumption: one hash
     shuffle by cell id (<= C keys)."""
-    n_cells, cents = _build_cells(ds, n_cells, seed, trained)
+    _, n_cells, cents = _build_cells(ds, n_cells, seed, trained)
     n_probe = min(n_probe, n_cells)
     csim = _round9(cents @ cents.T)
     # per-row (sim desc, cell asc) — deterministic probe graph
@@ -568,10 +581,51 @@ def ivf_cosine_pairs(ds: ray.data.Dataset, threshold: float,
     return out
 
 
+# semantic_dedup scale knobs: target average cell size (cells grow as
+# ceil(N/this) past the historical 256-cell clamp), rows per prior-max
+# tile (two 2048-row float64 tiles are ~32 MB of task heap), and the
+# row-count floor below which the hot-cell pre-count pass (an extra
+# input scan) is skipped entirely.
+SEMDEDUP_TARGET_CELL_ROWS = 8192
+SEMDEDUP_TILE_ROWS = 2048
+SEMDEDUP_HOT_CHECK_MIN_ROWS = 1_000_000
+
+
+def _dedup_cell_prior_max(m: np.ndarray, tile_rows: int) -> np.ndarray:
+    """max_prior[i] = max over strictly-earlier rows j < i of
+    _round9(m[i] . m[j]) — computed block-vs-block so peak tile memory is
+    tile_rows^2 floats regardless of the cell size (the round-4 verdict's
+    scale fix for the former dense (|c|,|c|) matrix built in one task).
+    Each pairwise dot product is the identical BLAS reduction either way,
+    and the 1e-9 floor-rounding is applied per tile exactly as it was per
+    full matrix, so the result is value-identical to the dense path
+    (pinned by the forced-multi-block parity test)."""
+    n = len(m)
+    max_prior = np.full(n, -2.0)
+    for i0 in range(0, n, tile_rows):
+        i1 = min(i0 + tile_rows, n)
+        mi = m[i0:i1]
+        acc = np.full(i1 - i0, -2.0)
+        for j0 in range(0, i0, tile_rows):
+            j1 = min(j0 + tile_rows, i0)
+            tile = _round9(mi @ m[j0:j1].T)
+            np.maximum(acc, tile.max(axis=1), out=acc)
+        tile = _round9(mi @ mi.T)      # strict-lower-triangle of own block
+        tile[np.triu_indices(i1 - i0)] = -2.0
+        np.maximum(acc, tile.max(axis=1, initial=-2.0), out=acc)
+        max_prior[i0:i1] = acc
+    return max_prior
+
+
 def semantic_dedup(ds: ray.data.Dataset, eps: float,
                    id_col: str = "vec_id", n_cells: int = 0,
                    seed: int = 42,
-                   trained: bool = True) -> ray.data.Dataset:
+                   trained: bool = True,
+                   target_cell_rows: int = SEMDEDUP_TARGET_CELL_ROWS,
+                   tile_rows: int = SEMDEDUP_TILE_ROWS,
+                   hot_cell_rows: int | None = None,
+                   hot_check_min_rows: int = SEMDEDUP_HOT_CHECK_MIN_ROWS
+                   ) -> ray.data.Dataset:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the coarse quantizer, then
     within each cluster keep-first in (centroid_sim ASC, id ASC) order —
@@ -583,18 +637,37 @@ def semantic_dedup(ds: ray.data.Dataset, eps: float,
     The reference has no semantic-dedup surface — this extends the
     near-duplicate plane (selfclean_cleaner.py:121-146 semantics) with the
     standard LLM-corpus operator. One map_batches assigns (cell,
-    centroid_sim) against broadcast centroids; one groupby(cell) computes
-    the per-cluster pair tile. Compute is sum_c |c|^2 — sub-quadratic when
-    cells spread (default C ~ sqrt(N)/2), exactly the paper's own
-    per-cluster cost; a giant semantic cluster degenerates to one hot cell
-    (same documented caveat as _ivf_route). trained=False uses seeded
-    random-projection cells so a SQL oracle can replay the bucketing.
+    centroid_sim) against broadcast centroids; one groupby computes the
+    per-cluster prior-max. trained=False uses seeded random-projection
+    cells so a SQL oracle can replay the bucketing.
+
+    Scale shape (round-4 verdict fix — no dense (|c|,|c|) tile anywhere):
+    - cell count grows as ceil(N / target_cell_rows) past the historical
+      256 clamp (bit-identical below ~2.1M rows), so the average cell
+      stays ~target_cell_rows at any N;
+    - within a cell the prior-max is computed in tile_rows x tile_rows
+      blocks (_dedup_cell_prior_max), bounding task heap at
+      O(|c| x dim + tile_rows^2) instead of O(|c|^2);
+    - HOT cells (a giant semantic cluster overwhelming its centroid) are
+      detected by a distributed pre-count (only run when N >
+      hot_check_min_rows — the pre-count is an extra scan of the input)
+      and SALTED into ceil(|c| / hot_cell_rows) deterministic
+      splitmix64(id) subcells, each deduplicated independently. Salting
+      DROPS cross-subcell prior-similarities — a pair of near-dups split
+      across subcells may BOTH be kept (recall loss on the pathological
+      cell only, logged loudly; precision is unaffected, and `keep`
+      stays deterministic). hot_cell_rows defaults to
+      max(4 x target_cell_rows, 32768).
 
     Output: (vec_id, cell, centroid_sim, max_prior_sim, keep) — keep=1
     rows form the deduplicated corpus; max_prior_sim is -2.0 for the
-    first row of each cluster (no prior rows).
+    first row of each cluster (no prior rows). `cell` is always the TRUE
+    quantizer cell, also under salting.
     """
-    n_cells, cents = _build_cells(ds, n_cells, seed, trained)
+    if hot_cell_rows is None:
+        hot_cell_rows = max(4 * target_cell_rows, 32768)
+    n, n_cells, cents = _build_cells(ds, n_cells, seed, trained,
+                                     target_cell_rows=target_cell_rows)
     cref = ray.put(cents)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -610,17 +683,68 @@ def semantic_dedup(ds: ray.data.Dataset, eps: float,
             .append_column("centroid_sim", pa.array(
                 sims[np.arange(t.num_rows), cells], pa.float64()))
 
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    splits: dict[int, int] = {}
+    if n > hot_check_min_rows:
+        # distributed count per cell; only cells ABOVE the hot bound are
+        # collected (rare by construction — avg cell ~ target_cell_rows)
+        import pyarrow.compute as pc
+        counts = assigned.select_columns(["cell"]) \
+            .groupby("cell").count()
+        cname = [c for c in counts.schema().names if c != "cell"][0]
+
+        def only_hot(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(
+                t.column(cname).cast(pa.int64()),
+                pa.scalar(hot_cell_rows, pa.int64())))
+
+        hot = counts.map_batches(only_hot, batch_format="pyarrow") \
+            .take_all()
+        splits = {int(r["cell"]): -(-int(r[cname]) // hot_cell_rows)
+                  for r in hot}
+        if splits:
+            import logging
+            logging.getLogger(__name__).warning(
+                "semantic_dedup: %d hot cell(s) over %d rows salted into "
+                "subcells (max %d-way); cross-subcell prior-similarities "
+                "are dropped for those cells — near-dup pairs split "
+                "across subcells may both be kept",
+                len(splits), hot_cell_rows, max(splits.values()))
+
+    if splits:
+        from raydedup.kernels import splitmix64
+        sref = ray.put(splits)
+
+        def salt(t: pa.Table) -> pa.Table:
+            cells = t.column("cell").to_numpy(zero_copy_only=False)
+            sub = np.zeros(len(cells), dtype=np.int64)
+            smap = ray.get(sref)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            for c, s in smap.items():
+                msk = cells == c
+                if msk.any():
+                    sub[msk] = (splitmix64(ids[msk].astype(np.uint64))
+                                % np.uint64(s)).astype(np.int64)
+            # unique across cells: gkey = cell + n_cells * sub
+            return t.append_column("_gkey", pa.array(
+                cells + n_cells * sub, pa.int64()))
+
+        assigned = assigned.map_batches(salt, batch_format="pyarrow")
+    else:
+        assigned = assigned.map_batches(
+            lambda t: t.append_column(
+                "_gkey", t.column("cell").cast(pa.int64())),
+            batch_format="pyarrow")
+
     def dedup_cell(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         cs = t.column("centroid_sim").to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, cs))            # centroid_sim asc, id asc
         m = _normalize(_emb_matrix(t))[order]
-        sims = _round9(m @ m.T)
-        # max over strictly-earlier rows in the keep order (triu max of
-        # the paper, transposed): mask j >= i then row-max
-        sims[np.triu_indices(len(order))] = -2.0
-        max_prior = sims.max(axis=1, initial=-2.0)
+        max_prior = _dedup_cell_prior_max(m, tile_rows)
         return pa.table({
             id_col: pa.array(ids[order], pa.int64()),
             "cell": t.column("cell").take(pa.array(order)),
@@ -629,8 +753,8 @@ def semantic_dedup(ds: ray.data.Dataset, eps: float,
             "keep": pa.array((max_prior < eps).astype(np.int64)),
         })
 
-    return ds.map_batches(assign, batch_format="pyarrow") \
-        .groupby("cell").map_groups(dedup_cell, batch_format="pyarrow")
+    return assigned.groupby("_gkey").map_groups(
+        dedup_cell, batch_format="pyarrow")
 
 
 _KNN_EMPTY = pa.schema([("query_id", pa.int64()),
