@@ -837,14 +837,19 @@ def ivf_knn_search(ds: ray.data.Dataset, queries: np.ndarray,
 
 def knn_search(ds: ray.data.Dataset, queries: np.ndarray,
                query_ids: np.ndarray, k: int,
-               id_col: str = "vec_id") -> ray.data.Dataset:
+               id_col: str = "vec_id",
+               round_sims: bool = False) -> ray.data.Dataset:
     """Brute-force top-k cosine neighbors of each query vector.
 
     queries: (Q, D) matrix, broadcast via ray.put; each corpus batch emits its
     local top-k per query; a final per-query map_groups reduces to the global
     top-k (partial top-k then merge — no full N x Q materialization).
     Ties broken on neighbor id ascending (deterministic).
-    """
+
+    round_sims floors sims to the shared 1e-9 grid BEFORE ranking so a
+    SQL oracle applying the same floor ranks identically even when its
+    cosine differs from BLAS in the last ulps (near-ties become exact
+    ties, broken by the shared id-asc rule on both sides)."""
     qn = _normalize(queries.astype(np.float64))
     qref = ray.put((query_ids.astype(np.int64), qn))
 
@@ -855,6 +860,8 @@ def knn_search(ds: ray.data.Dataset, queries: np.ndarray,
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_emb_matrix(t))
         sims = qm @ m.T                            # (Q, batch)
+        if round_sims:
+            sims = _round9(sims)
         kk = min(k, sims.shape[1])
         # (sim desc, id asc) per-query order — matches reduce_topk's
         # tie-break so tied candidates are never dropped locally

@@ -114,3 +114,53 @@ def test_semdedup_hot_cell_salting():
         .sort_values("vec_id").reset_index(drop=True)
     for col in plain.columns:
         assert (nohot[col].values == plain[col].values).all(), col
+
+
+def test_embed_actor_matches_pure_python_replay():
+    """EmbedActor pool output == a pure-Python char-count x weight replay,
+    bit for bit (the dyadic-weight exactness argument in
+    embed.embed_weights), including non-charset bytes, uppercase folding
+    and empty strings (zero vector, not NaN)."""
+    from raydedup.stages.embed import (EMBED_CHARSET, embed_documents,
+                                       embed_weights)
+    texts = ["Hello World 123", "", "    ", "zzzz!!!@@@", "AbC aBc 999",
+             "x" * 500, "the quick brown fox 0042"]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = embed_documents(rd.from_arrow(tbl), concurrency=2,
+                          batch_size=3).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    W = embed_weights()
+    for i, s in enumerate(texts):
+        low = s.lower()
+        counts = np.array([low.count(c) for c in EMBED_CHARSET], float)
+        want = counts @ W
+        got = np.asarray(out.embedding.iloc[i], dtype=np.float64)
+        assert np.array_equal(got, want), (i, s)
+
+
+def test_embed_knn_chain_feeds_embedding_plane():
+    """The computed embeddings drive the existing plane end to end:
+    knn_search over EmbedActor output ranks an exact text copy as its
+    twin's top non-self neighbor with sim 1.0 (rounded grid)."""
+    from raydedup.stages.embed import embed_documents
+    from raydedup.stages.embedding import knn_search
+    rng = np.random.default_rng(41)
+    texts = ["".join(rng.choice(list("abcdef "), size=60))
+             for _ in range(30)]
+    texts.append(texts[0])                      # plant an exact twin
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    emb = embed_documents(rd.from_arrow(tbl)).materialize()
+    rows = emb.sort("vec_id").limit(1).take_all()
+    q = np.array([rows[0]["embedding"]], dtype=np.float64)
+    out = knn_search(emb, q, np.array([0], dtype=np.int64), k=3,
+                     round_sims=True).to_pandas().sort_values("rank")
+    # rank 1 = self (sim 1), rank 2 = the planted twin (also sim 1, id
+    # tie-break ascending puts 0 before 30)
+    assert list(out.neighbor_id[:2]) == [0, 30]
+    assert (out.cosine_sim.iloc[:2] == 1.0).all()
