@@ -83,6 +83,15 @@ class AutoCleanConfig:
     cut_off: float = 0.01           # alpha
     significance: float = 0.05      # q
     enabled: bool = False
+    # reference-EXACT near-dup fit (auto_cleaning_mixin.py:91-154 fits on
+    # the FULL condensed N(N-1)/2 distance vector; the engine default fits
+    # on sparse verified pairs — documented deviation in pipeline.py).
+    # Opt-in O(N^2) mode: compute every pairwise exact-Jaccard distance
+    # and fit on that vector, so M == condensed size and the reference's
+    # length-based alpha**2 detection fires naturally. Small-N parity
+    # tool; refuses above full_condensed_max_n.
+    full_condensed_m: bool = False
+    full_condensed_max_n: int = 4096
 
 
 @dataclass(frozen=True)

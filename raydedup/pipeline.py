@@ -351,14 +351,30 @@ def run_pipeline(code_files: ray.data.Dataset,
         from raydedup.stages.autoclean import fraction_cut_dataset
         n = sigs.count()
         if result.ranked_pairs is not None:
-            # fit on distance-metric pairs only (substring rows are not on
-            # the 1-J metric and would inflate M / shift the anchors); the
-            # flag is applied to the full ranked surface — substring rows
-            # sit above the cut and tag False
-            result.ranked_pairs = fraction_cut_dataset(
-                result.ranked_pairs, "distance", n,
-                alpha=cfg.autoclean.cut_off, q=cfg.autoclean.significance,
-                ascending=True, pair_rule=True, fit_ds=dist_pairs)
+            if cfg.autoclean.full_condensed_m:
+                # reference-EXACT opt-in (closes the deviation above for
+                # small N): fit on the FULL condensed N(N-1)/2 exact-
+                # Jaccard distance vector; pair_rule=None lets the
+                # reference's length-based M == N(N-1)/2 detection square
+                # alpha itself (auto_cleaning_mixin.py:102-105)
+                from raydedup.stages.autoclean import condensed_distances
+                fit_vec = condensed_distances(
+                    sigs, cfg, shingle_source=shingle_src)
+                result.ranked_pairs = fraction_cut_dataset(
+                    result.ranked_pairs, "distance", n,
+                    alpha=cfg.autoclean.cut_off,
+                    q=cfg.autoclean.significance,
+                    ascending=True, pair_rule=None, fit_scores=fit_vec)
+            else:
+                # fit on distance-metric pairs only (substring rows are
+                # not on the 1-J metric and would inflate M / shift the
+                # anchors); the flag is applied to the full ranked
+                # surface — substring rows sit above the cut and tag False
+                result.ranked_pairs = fraction_cut_dataset(
+                    result.ranked_pairs, "distance", n,
+                    alpha=cfg.autoclean.cut_off,
+                    q=cfg.autoclean.significance,
+                    ascending=True, pair_rule=True, fit_ds=dist_pairs)
         if result.duplicity is not None:
             result.duplicity = fraction_cut_dataset(
                 result.duplicity, "off_topic_score", n,

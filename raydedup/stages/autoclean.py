@@ -130,7 +130,8 @@ def fraction_cut_dataset(ds: ray.data.Dataset, score_col: str, n_samples: int,
                          alpha: float = 0.01, q: float = 0.05,
                          ascending: bool = True,
                          pair_rule: bool | None = None,
-                         fit_ds: ray.data.Dataset | None = None
+                         fit_ds: ray.data.Dataset | None = None,
+                         fit_scores: np.ndarray | None = None
                          ) -> ray.data.Dataset:
     """Attach an `auto_issue` bool column to a scored Dataset.
 
@@ -140,13 +141,20 @@ def fraction_cut_dataset(ds: ray.data.Dataset, score_col: str, n_samples: int,
     applied as a vectorized map_batches. When `fit_ds` is given, the quantile
     anchors and M come from ITS score column while the flag is applied to
     `ds` — used to fit the near-dup cut on distance-metric pairs only while
-    tagging the full ranked surface (substring rows land above the cut)."""
-    col = np.concatenate([
-        b.column(score_col).to_numpy(zero_copy_only=False)
-        for b in (fit_ds if fit_ds is not None else ds)
-        .select_columns([score_col]).iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20)] or
-        [np.empty(0, np.float64)])
+    tagging the full ranked surface (substring rows land above the cut).
+    `fit_scores` overrides both with a ready-made fit vector — the
+    full-condensed reference-parity path passes condensed_distances()
+    output here (with pair_rule=None so the reference's length-based
+    alpha**2 detection decides)."""
+    if fit_scores is not None:
+        col = np.asarray(fit_scores, dtype=np.float64)
+    else:
+        col = np.concatenate([
+            b.column(score_col).to_numpy(zero_copy_only=False)
+            for b in (fit_ds if fit_ds is not None else ds)
+            .select_columns([score_col]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20)] or
+            [np.empty(0, np.float64)])
     s = col if ascending else 1.0 - col
     cutoff = fraction_cut_cutoff(s, n_samples, alpha, q, pair_rule=pair_rule)
     # cut-off maps back to score space via sigmoid (logit is monotone), so the
@@ -160,3 +168,72 @@ def fraction_cut_dataset(ds: ray.data.Dataset, score_col: str, n_samples: int,
         return t.append_column("auto_issue", pa.array(flag, pa.bool_()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def condensed_distances(sigs: ray.data.Dataset, cfg,
+                        shingle_source: ray.data.Dataset | None = None,
+                        max_n: int | None = None) -> np.ndarray:
+    """The FULL condensed N(N-1)/2 exact-Jaccard distance vector — the
+    reference's fraction_cut input (selfclean_cleaner.py:121-146 builds
+    the dense pairwise matrix; auto_cleaning_mixin.py:102-105 detects the
+    condensed length to square alpha). Opt-in reference-parity mode: the
+    engine's default near-dup fit uses sparse verified pairs precisely to
+    NEVER materialize this vector, so this helper refuses N beyond
+    cfg.autoclean.full_condensed_max_n.
+
+    Execution: shingle sets are collected once into a broadcast object
+    (bounded by max_n); every i-row fans out to its (i, j>i) pairs inside
+    map_batches — no shuffle anywhere — and each pair's exact Jaccard uses
+    the same segmented-intersection kernel as the verify plane, so a
+    distance here is bit-identical to the verified `distance` of the same
+    pair. Order of the returned vector is unspecified (fraction_cut's
+    quantile math is order-invariant)."""
+    import ray
+
+    from raydedup import kernels as K
+    from raydedup.util import collect_up_to, unpack_u64_flat
+
+    if max_n is None:
+        max_n = cfg.autoclean.full_condensed_max_n
+    sub = sigs.select_columns(
+        ["id", "shingles"]) if shingle_source is None else None
+    if sub is None:
+        from raydedup.stages.signatures import compute_shingle_sets
+        sub = compute_shingle_sets(shingle_source, cfg)
+    tbl = collect_up_to(sub, max_n)
+    if tbl is None:
+        raise ValueError(
+            f"full_condensed_m is a small-N reference-parity mode "
+            f"(O(N^2) pairs); the corpus exceeds "
+            f"full_condensed_max_n={max_n} rows")
+    n = tbl.num_rows
+    if n < 2:
+        return np.empty(0, np.float64)
+    flat, offs = unpack_u64_flat(tbl.column("shingles"))
+    bref = ray.put((flat, offs))
+
+    def pair_block(t: "pa.Table") -> "pa.Table":
+        rows = t.column("id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bflat, boffs = ray.get(bref)
+        counts = (n - 1 - rows).clip(min=0)
+        ia = np.repeat(rows, counts)
+        ib = np.concatenate(
+            [np.arange(i + 1, n, dtype=np.int64) for i in rows]) \
+            if len(rows) else np.empty(0, np.int64)
+        inter = K.segmented_intersection_sizes2(
+            bflat, boffs, ia, bflat, boffs, ib).astype(np.float64)
+        la = (boffs[ia + 1] - boffs[ia]).astype(np.int64)
+        lb = (boffs[ib + 1] - boffs[ib]).astype(np.int64)
+        union = (la + lb).astype(np.float64) - inter
+        both_empty = (la + lb) == 0
+        jac = np.where(both_empty, 1.0, inter / np.maximum(union, 1.0))
+        dist = np.clip(1.0 - jac, 0.0, 1.0)
+        return pa.table({"distance": pa.array(dist, pa.float64())})
+
+    out = ray.data.range(n, override_num_blocks=max(1, min(64, n // 8))) \
+        .map_batches(pair_block, batch_format="pyarrow", batch_size=64)
+    parts = [b.column("distance").to_numpy(zero_copy_only=False)
+             for b in out.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20)]
+    return np.concatenate(parts) if parts else np.empty(0, np.float64)
