@@ -94,6 +94,44 @@ MUTANTS = [
         "gate": ["pytest",
                  "tests/test_incremental.py::test_mixed_cap_fallback_parity"],
     },
+    # ---- round-5 additions (round-4 verdict item 8): the round-4
+    # operators' most plausible silent-drift bugs ----
+    {
+        "name": "quantile_rank_drift",
+        "desc": "lower/disc rank convention drifts to ceil",
+        "file": "raydedup/stages/quantiles.py",
+        "old": "    return int(np.floor(q * (n - 1) + 1e-9))",
+        "new": "    return int(np.ceil(q * (n - 1) - 1e-9))",
+        "gate": ["correctness", "column_quantiles"],
+    },
+    {
+        "name": "stratified_rank_flip",
+        "desc": "per-group sample keeps the LARGEST hash ranks",
+        "file": "raydedup/stages/sample.py",
+        "old": '''    out = top_k_per_group(ranked, group_col, "_srank", id_col, k,
+                          descending=False)''',
+        "new": '''    out = top_k_per_group(ranked, group_col, "_srank", id_col, k,
+                          descending=True)''',
+        "gate": ["correctness", "stratified_sample"],
+    },
+    {
+        "name": "dedup_report_rule_inversion",
+        "desc": "report counts representatives as the duplicates",
+        "file": "raydedup/issues.py",
+        "old": '        dup = pc.not_equal(t.column("id"), t.column("cluster_id"))',
+        "new": '        dup = pc.equal(t.column("id"), t.column("cluster_id"))',
+        "gate": ["correctness", "dedup_report"],
+    },
+    {
+        "name": "lean_shingle_mixup",
+        "desc": "lean-verify gathers shingle segments without the mh-order "
+                "indirection (rows pair with the wrong shingle set)",
+        "file": "raydedup/stages/verify.py",
+        "old": "    gflat, goffs = _gather_segments(flat, offs, sperm[inv])",
+        "new": "    gflat, goffs = _gather_segments(flat, offs, sperm)",
+        "gate": ["pytest",
+                 "tests/test_round4.py::test_lean_run_bit_identical_to_stored"],
+    },
 ]
 
 
@@ -112,7 +150,9 @@ def run_gate(gate):
 
 
 def main():
-    dirty = subprocess.run(["git", "status", "--porcelain"],
+    # -uno: untracked files (e.g. evidence JSONs a concurrent probe is
+    # writing) don't block — restoration only needs TRACKED files clean
+    dirty = subprocess.run(["git", "status", "--porcelain", "-uno"],
                            capture_output=True, text=True, cwd=REPO)
     if dirty.stdout.strip():
         print("refusing: working tree dirty"); sys.exit(2)
