@@ -237,3 +237,62 @@ def condensed_distances(sigs: ray.data.Dataset, cfg,
              for b in out.iter_batches(batch_format="pyarrow",
                                        batch_size=1 << 20)]
     return np.concatenate(parts) if parts else np.empty(0, np.float64)
+
+
+def cut_fit_report(scores: np.ndarray, n_samples: int,
+                   alpha: float = 0.01, q: float = 0.05,
+                   pair_rule: bool | None = None,
+                   bins: int | str = "sqrt") -> dict:
+    """The DATA behind the reference's fraction_cut plot
+    (utils/plotting.py:101-165 plot_frac_cut / subplot_frac_cut —
+    plotting itself is a sanctioned non-goal, SURVEY §2.1; this emits
+    everything those axes draw, as plain JSON-serializable values):
+
+    - the two quantile anchors q1/q2 (plotting.py:131-144 vertical lines
+      + span), the fitted loc/scale and the cutoff (:157-161);
+    - the log-density histogram of the logit scores (:145-153 — same
+      default bins='sqrt' rule, density-normalized counts);
+    - the fitted logistic pdf sampled on the same 101-point grid
+      [cutoff, q2] the reference plots (:154-156), via the closed form
+      pdf(z) = e^-z / (1+e^-z)^2 (scipy-free);
+    - n_flagged under the cut.
+
+    Driver-side scalar math on a collected score vector, like every
+    other fraction_cut surface (SURVEY §2.5)."""
+    M = len(scores)
+    out: dict = {"M": int(M), "N": int(n_samples), "alpha": float(alpha),
+                 "q": float(q)}
+    a = alpha
+    if pair_rule or (pair_rule is None and M == n_samples *
+                     (n_samples - 1) // 2):
+        a = alpha ** 2
+    out["alpha_effective"] = float(a)
+    inside = (scores > 0.0) & (scores < 1.0)
+    ls = _logit(scores[inside])
+    cutoff = fraction_cut_cutoff(scores, n_samples, alpha, q,
+                                 pair_rule=pair_rule)
+    if cutoff is None or len(ls) < 2:
+        out.update({"cutoff": None, "loc": None, "scale": None,
+                    "q1": None, "q2": None, "n_flagged": 0,
+                    "hist_counts": [], "hist_edges": [],
+                    "fit_x": [], "fit_pdf": []})
+        return out
+    p1, p2 = a, float((0.5 * a) ** 0.5)
+    x1, x2 = float(np.quantile(ls, p1)), float(np.quantile(ls, p2))
+    z1 = float(np.log(p1 / (1.0 - p1)))
+    z2 = float(np.log(p2 / (1.0 - p2)))
+    scale = (x1 - x2) / (z1 - z2)
+    loc = (z1 * x2 - z2 * x1) / (z1 - z2)
+    nb = int(np.ceil(np.sqrt(len(ls)))) if bins == "sqrt" else int(bins)
+    counts, edges = np.histogram(ls, bins=nb, density=True)
+    xg = np.linspace(cutoff, x2, 101)
+    zg = (xg - loc) / scale
+    pdf = np.exp(-zg) / (1.0 + np.exp(-zg)) ** 2 / scale
+    out.update({
+        "cutoff": float(cutoff), "loc": float(loc), "scale": float(scale),
+        "q1": x1, "q2": x2,
+        "n_flagged": int((ls < cutoff).sum()),
+        "hist_counts": counts.tolist(), "hist_edges": edges.tolist(),
+        "fit_x": xg.tolist(), "fit_pdf": pdf.tolist(),
+    })
+    return out

@@ -123,3 +123,32 @@ def _ids_content(code):
 
     from raydedup.stages.ingest import ids_and_content, ingest
     return ids_and_content(ingest(rd.from_arrow(code)))
+
+
+def test_cut_fit_report_emits_reference_plot_data():
+    """cut_fit_report carries exactly what plot_frac_cut draws
+    (plotting.py:101-165): anchors/cutoff consistent with the
+    transliteration, sqrt-rule density histogram integrating to 1, the
+    101-point logistic pdf grid, and a JSON-serializable payload."""
+    import json
+
+    from raydedup.stages.autoclean import cut_fit_report
+    rng = np.random.default_rng(11)
+    N = 60
+    M = N * (N - 1) // 2
+    scores = 1 / (1 + np.exp(-np.concatenate([
+        rng.normal(1.0, 1.0, M - 40), rng.normal(-6.0, 0.5, 40)])))
+    rep = cut_fit_report(scores, N)
+    _, ref_cut = reference_fraction_cut(scores, N, M)
+    assert rep["cutoff"] == pytest.approx(ref_cut)
+    assert rep["alpha_effective"] == pytest.approx(0.01 ** 2)
+    # density histogram integrates to ~1
+    c = np.array(rep["hist_counts"]); e = np.array(rep["hist_edges"])
+    assert np.sum(c * np.diff(e)) == pytest.approx(1.0, rel=1e-6)
+    assert len(rep["fit_x"]) == len(rep["fit_pdf"]) == 101
+    assert rep["fit_x"][0] == pytest.approx(rep["cutoff"])
+    assert rep["fit_x"][-1] == pytest.approx(rep["q2"])
+    json.dumps(rep)                                  # serializable
+    # degenerate: all-boundary scores -> no fit, structured nulls
+    empty = cut_fit_report(np.array([0.0, 1.0]), 10)
+    assert empty["cutoff"] is None and empty["n_flagged"] == 0
