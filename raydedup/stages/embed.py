@@ -113,10 +113,10 @@ def embed_documents(docs: ray.data.Dataset, concurrency: int = 8,
                     dim: int = EMBED_DIM, id_col: str = "doc_id",
                     text_col: str = "text") -> ray.data.Dataset:
     """documents -> (vec_id, embedding list<double>) via the EmbedActor
-    pool. Autoscaling (1, concurrency) pool (a fixed pool equal to the CPU
-    count starves the upstream read — see .claude verify notes); on a GPU
-    cluster add num_gpus= to the map_batches call and size batch_size to
-    device memory."""
+    pool. Autoscaling (1, concurrency) pool — a FIXED pool equal to the
+    CPU count deadlocks the streaming executor by starving the upstream
+    read of scheduling slots; on a GPU cluster add num_gpus= to the
+    map_batches call and size batch_size to device memory."""
     return docs.select_columns([id_col, text_col]).map_batches(
         EmbedActor,
         fn_constructor_args=(seed, dim, id_col, text_col),
